@@ -1,0 +1,276 @@
+"""Vectorized prime-field arithmetic for TPU (JAX).
+
+This is the foundation of the whole framework: every constraint-check, NTT
+butterfly and MSM point-add reduces to batched arithmetic mod ``p``.
+
+Representation: an element is ``NUM_LIMBS`` (=16) base-``2^LIMB_BITS`` (=16)
+limbs stored in a trailing axis of a ``uint32`` array. TPUs have no 64-bit
+integer multiplier, so 16x16->32-bit limb products are the widest primitive
+multiplication available; sums of 16-bit quantities are accumulated in uint32
+lanes with deferred carries (bounded well below 2^32) and carries are
+propagated in a single fixed-length pass. Multiplication uses CIOS Montgomery
+reduction, fully unrolled (static shapes, no data-dependent control flow, no
+scatters — only pads/slices), so XLA sees one fusable elementwise graph over
+the batch dimensions.
+
+All public ops are jitted with the field constants static; they are pure,
+vmap-safe and shard_map-safe, and batch dims are arbitrary leading axes.
+
+Capability parity note: the reference delegates field arithmetic to the Rust
+``halo2curves``/``pasta_curves`` crates via halo2wrong (Cargo.toml:13-14);
+this module is the from-scratch TPU-native equivalent.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .field import LIMB_BITS, LIMB_MASK, NUM_LIMBS, PrimeField
+from .limbs import int_to_field_limbs
+
+_U32 = jnp.uint32
+_MASK = np.uint32(LIMB_MASK)
+
+
+class FieldConsts:
+    """Device-side constants for one prime field (limb arrays).
+
+    Hashable by identity; always obtain via :func:`consts` so jit caches hit.
+    """
+
+    def __init__(self, field: PrimeField):
+        self.field = field
+        self.p_limbs = jnp.asarray(int_to_field_limbs(field.p))
+        # p extended with a zero 17th limb, for 17-limb comparisons.
+        self.p17 = jnp.asarray(
+            np.concatenate([int_to_field_limbs(field.p), np.zeros(1, np.uint32)])
+        )
+        self.n0inv = np.uint32(field.n0inv)
+        self.r_limbs = jnp.asarray(int_to_field_limbs(field.r))
+        self.r2_limbs = jnp.asarray(int_to_field_limbs(field.r2))
+        # bits of p-2, LSB-first, as a device array (for Fermat inversion).
+        e = field.p - 2
+        bits = [(e >> i) & 1 for i in range(e.bit_length())]
+        self.p_minus_2_bits = jnp.asarray(np.array(bits, np.uint32))
+
+    def __repr__(self):
+        return f"FieldConsts({self.field.name})"
+
+
+@functools.lru_cache(maxsize=None)
+def consts(field: PrimeField) -> FieldConsts:
+    return FieldConsts(field)
+
+
+def _pad_last(x, before: int, after: int):
+    if before == 0 and after == 0:
+        return x
+    cfg = [(0, 0, 0)] * (x.ndim - 1) + [(before, after, 0)]
+    return jax.lax.pad(x, jnp.uint32(0), cfg)
+
+
+# ---------------------------------------------------------------------------
+# carry / borrow helpers (fixed-length unrolled passes)
+# ---------------------------------------------------------------------------
+
+
+def _carry_prop(t, out_limbs: int):
+    """Propagate deferred carries: t (..., k) uint32 limbs (< 2^32 each)
+    -> canonical (..., out_limbs) limbs < 2^16. The true value must fit."""
+    k = t.shape[-1]
+    outs = []
+    c = jnp.zeros(t.shape[:-1], _U32)
+    for i in range(out_limbs):
+        v = (t[..., i] if i < k else jnp.zeros(t.shape[:-1], _U32)) + c
+        outs.append(v & _MASK)
+        c = v >> LIMB_BITS
+    return jnp.stack(outs, axis=-1)
+
+
+def _sub_limbs(a, b):
+    """(a - b) with borrow chain over canonical limbs.
+
+    Returns (diff_limbs, borrow_out) where borrow_out==1 iff a < b."""
+    n = a.shape[-1]
+    outs = []
+    borrow = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), _U32)
+    base = np.uint32(1 << LIMB_BITS)
+    for i in range(n):
+        v = a[..., i] + base - b[..., i] - borrow
+        outs.append(v & _MASK)
+        borrow = jnp.uint32(1) - (v >> LIMB_BITS)
+    return jnp.stack(outs, axis=-1), borrow
+
+
+def _cond_sub_p(t17, fc: FieldConsts):
+    """Given canonical t (..., 17) with t < 2p, return t mod p in 16 limbs."""
+    diff, borrow = _sub_limbs(t17, fc.p17)
+    keep = (borrow == 1)[..., None]
+    res = jnp.where(keep, t17, diff)
+    return res[..., :NUM_LIMBS]
+
+
+# ---------------------------------------------------------------------------
+# core ops (private, un-jitted graph builders)
+# ---------------------------------------------------------------------------
+
+
+def _add(fc, a, b):
+    s = a + b  # limbs < 2^17, deferred
+    t17 = _carry_prop(s, NUM_LIMBS + 1)
+    return _cond_sub_p(t17, fc)
+
+
+def _sub(fc, a, b):
+    diff, borrow = _sub_limbs(a, b)
+    corr = diff + jnp.where((borrow == 1)[..., None], fc.p_limbs, jnp.uint32(0))
+    return _carry_prop(corr, NUM_LIMBS)
+
+
+def _mont_mul(fc, a, b):
+    batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    t = jnp.zeros(batch + (NUM_LIMBS + 1,), _U32)
+    p = fc.p_limbs
+    for i in range(NUM_LIMBS):
+        ai = a[..., i : i + 1]
+        prod = ai * b  # (..., 16) full 32-bit products of 16-bit limbs
+        # accumulate lo into t[0:16] and hi into t[1:17] without scatters
+        t = t + _pad_last(prod & _MASK, 0, 1) + _pad_last(prod >> LIMB_BITS, 1, 0)
+        m = ((t[..., 0] & _MASK) * fc.n0inv) & _MASK
+        prod2 = m[..., None] * p
+        t = t + _pad_last(prod2 & _MASK, 0, 1) + _pad_last(prod2 >> LIMB_BITS, 1, 0)
+        # shift one limb down; t[0] ≡ 0 mod 2^16, its upper bits carry into the
+        # next limb.
+        carry0 = t[..., 0] >> LIMB_BITS
+        t = _pad_last(t[..., 1:], 0, 1) + _pad_last(carry0[..., None], 0, NUM_LIMBS)
+    t17 = _carry_prop(t, NUM_LIMBS + 1)
+    return _cond_sub_p(t17, fc)
+
+
+# ---------------------------------------------------------------------------
+# public jitted ops
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def add(fc: FieldConsts, a, b):
+    """(a + b) mod p over (..., 16) canonical limb arrays."""
+    return _add(fc, a, b)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def sub(fc: FieldConsts, a, b):
+    """(a - b) mod p."""
+    return _sub(fc, a, b)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def neg(fc: FieldConsts, a):
+    z = jnp.zeros_like(a)
+    return jnp.where(is_zero(a)[..., None], z, _sub(fc, z, a))
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def mont_mul(fc: FieldConsts, a, b):
+    """Montgomery product: (a * b * R^-1) mod p. Inputs/outputs canonical."""
+    return _mont_mul(fc, a, b)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def mont_sqr(fc: FieldConsts, a):
+    return _mont_mul(fc, a, a)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def to_mont(fc: FieldConsts, a):
+    return _mont_mul(fc, a, jnp.broadcast_to(fc.r2_limbs, a.shape))
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def from_mont(fc: FieldConsts, a):
+    one = jnp.zeros_like(a).at[..., 0].set(1)
+    return _mont_mul(fc, a, one)
+
+
+def is_zero(a):
+    """(...,) bool: whether the canonical limb value is zero."""
+    return jnp.all(a == 0, axis=-1)
+
+
+def eq(a, b):
+    return jnp.all(a == b, axis=-1)
+
+
+def _pow_bits(fc, a, bits):
+    """Square-and-multiply with a device bit array (LSB-first) via lax.scan."""
+    acc0 = jnp.broadcast_to(fc.r_limbs, a.shape)  # 1 in Montgomery form
+
+    def step(carry, bit):
+        acc, sq = carry
+        mul = _mont_mul(fc, acc, sq)
+        acc = jnp.where(bit.astype(bool), mul, acc)
+        sq = _mont_mul(fc, sq, sq)
+        return (acc, sq), None
+
+    (acc, _), _ = jax.lax.scan(step, (acc0, a), bits)
+    return acc
+
+
+def pow_const(fc: FieldConsts, a, e: int):
+    """a^e for a static Python-int exponent; ``a`` Montgomery, result Montgomery."""
+    if e == 0:
+        return jnp.broadcast_to(fc.r_limbs, a.shape)
+    bits = jnp.asarray(np.array([(e >> i) & 1 for i in range(e.bit_length())], np.uint32))
+    return _pow_scan(fc, a, bits)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _pow_scan(fc, a, bits):
+    return _pow_bits(fc, a, bits)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def inv(fc: FieldConsts, a):
+    """Batched field inverse via Fermat (a^(p-2)); Montgomery domain.
+
+    a == 0 maps to 0.
+    """
+    return _pow_bits(fc, a, fc.p_minus_2_bits)
+
+
+# ---------------------------------------------------------------------------
+# host conversion helpers
+# ---------------------------------------------------------------------------
+
+
+def from_ints(fc: FieldConsts, xs, mont: bool = True):
+    """Python ints -> device limb array, optionally in Montgomery form."""
+    field = fc.field
+    if mont:
+        xs = [field.to_mont(x % field.p) for x in xs]
+    else:
+        xs = [x % field.p for x in xs]
+    arr = np.empty((len(xs), NUM_LIMBS), np.uint32)
+    for j, x in enumerate(xs):
+        for i in range(NUM_LIMBS):
+            arr[j, i] = x & LIMB_MASK
+            x >>= LIMB_BITS
+    return jnp.asarray(arr)
+
+
+def to_ints(fc: FieldConsts, arr, mont: bool = True) -> list[int]:
+    """Device limb array (..., 16) -> list of Python ints (standard form)."""
+    arr = np.asarray(arr)
+    field = fc.field
+    out = []
+    flat = arr.reshape(-1, NUM_LIMBS)
+    for row in flat:
+        x = 0
+        for i in reversed(range(NUM_LIMBS)):
+            x = (x << LIMB_BITS) | int(row[i])
+        out.append(field.from_mont(x) if mont else x)
+    return out
