@@ -1,0 +1,73 @@
+"""RangeChip: lookup-based range checks.
+
+Functional equivalent of maingate's ``RangeChip``/``RangeInstructions``
+(configured by the reference at
+/root/reference/src/big_integer/chip.rs:1418-1423; assignment calls at e.g.
+chip.rs:74, 280-282, 590-599). The reference decomposes each value into
+``NUM_LOOKUP_LIMBS = 8`` sublimbs (big_integer/chip.rs:1163) checked against a
+lookup table, plus an overflow sublimb for non-divisible widths.
+
+TPU-native equivalent: every sublimb is recorded as a (cell, bits) lookup in
+the trace; the checker verifies all lookups of one width as a single
+vectorized bound compare (and the real prover compiles them into one batched
+lookup argument per table).
+"""
+
+from __future__ import annotations
+
+from .builder import Builder, Cell
+from .main_gate import MainGate
+
+NUM_LOOKUP_LIMBS = 8  # parity with BigIntChip::NUM_LOOKUP_LIMBS (chip.rs:1163)
+
+
+def sublimb_bit_len(bit_len_limb: int) -> int:
+    """Bits per lookup sublimb (BigIntChip::sublimb_bit_len, chip.rs:1357-1365)."""
+    val = bit_len_limb // NUM_LOOKUP_LIMBS
+    return val if val > 0 else 1
+
+
+class RangeChip:
+    def __init__(self, builder: Builder):
+        self.b = builder
+        self.main_gate = MainGate(builder)
+
+    def assign(self, value: int, sublimb_bits: int, bit_len: int) -> Cell:
+        """Witness ``value`` constrained to [0, 2^bit_len).
+
+        Decomposes into sublimbs of ``sublimb_bits`` (last one narrower when
+        ``bit_len % sublimb_bits != 0`` — the "overflow" lookup), records a
+        lookup per sublimb, and recomposes with an accumulation chain whose
+        final cell is returned. Mirrors RangeInstructions::assign semantics.
+        """
+        assert 0 <= value < (1 << bit_len), (
+            f"range assign: value {value} out of [0, 2^{bit_len})"
+        )
+        b = self.b
+        widths = []
+        remaining = bit_len
+        while remaining > 0:
+            w = min(sublimb_bits, remaining)
+            widths.append(w)
+            remaining -= w
+        # decompose LSB-first
+        sublimbs = []
+        x = value
+        for w in widths:
+            sublimbs.append(x & ((1 << w) - 1))
+            x >>= w
+        assert x == 0
+        cells = []
+        for sv, w in zip(sublimbs, widths):
+            c = b.new_cell(sv)
+            b.lookup(c, w)
+            cells.append(c)
+        # recompose: acc_{j+1} = acc_j + 2^shift_j * sublimb_j
+        acc = b.zero
+        shift = 0
+        for c, w in zip(cells, widths):
+            nxt = b.new_cell(b.val(acc) + (b.val(c) << shift))
+            b.gate([acc, c, nxt], (1, 1 << shift, -1, 0, 0, 0, 0, 0))
+            acc = nxt
+            shift += w
+        return acc

@@ -43,19 +43,21 @@ class FieldConsts:
     """
 
     def __init__(self, field: PrimeField):
+        # All constants are *numpy* arrays: they embed into lowered programs
+        # directly, with no device->host copies at trace/lower time (which
+        # would round-trip a network tunnel on remote TPU setups).
         self.field = field
-        self.p_limbs = jnp.asarray(int_to_field_limbs(field.p))
+        self.p_limbs = int_to_field_limbs(field.p)
         # p extended with a zero 17th limb, for 17-limb comparisons.
-        self.p17 = jnp.asarray(
-            np.concatenate([int_to_field_limbs(field.p), np.zeros(1, np.uint32)])
-        )
+        self.p17 = np.concatenate([int_to_field_limbs(field.p), np.zeros(1, np.uint32)])
         self.n0inv = np.uint32(field.n0inv)
-        self.r_limbs = jnp.asarray(int_to_field_limbs(field.r))
-        self.r2_limbs = jnp.asarray(int_to_field_limbs(field.r2))
-        # bits of p-2, LSB-first, as a device array (for Fermat inversion).
+        self.r_limbs = int_to_field_limbs(field.r)
+        self.r2_limbs = int_to_field_limbs(field.r2)
+        # bits of p-2, LSB-first (for Fermat inversion).
         e = field.p - 2
-        bits = [(e >> i) & 1 for i in range(e.bit_length())]
-        self.p_minus_2_bits = jnp.asarray(np.array(bits, np.uint32))
+        self.p_minus_2_bits = np.array(
+            [(e >> i) & 1 for i in range(e.bit_length())], np.uint32
+        )
 
     def __repr__(self):
         return f"FieldConsts({self.field.name})"
@@ -82,28 +84,41 @@ def _carry_prop(t, out_limbs: int):
     """Propagate deferred carries: t (..., k) uint32 limbs (< 2^32 each)
     -> canonical (..., out_limbs) limbs < 2^16. The true value must fit."""
     k = t.shape[-1]
-    outs = []
-    c = jnp.zeros(t.shape[:-1], _U32)
-    for i in range(out_limbs):
-        v = (t[..., i] if i < k else jnp.zeros(t.shape[:-1], _U32)) + c
-        outs.append(v & _MASK)
-        c = v >> LIMB_BITS
-    return jnp.stack(outs, axis=-1)
+    if k < out_limbs:
+        t = _pad_last(t, 0, out_limbs - k)
+    elif k > out_limbs:
+        t = t[..., :out_limbs]
+    xs = jnp.moveaxis(t, -1, 0)  # (out_limbs, ...)
+
+    def step(c, v):
+        v = v + c
+        return v >> LIMB_BITS, v & _MASK
+
+    _, outs = jax.lax.scan(step, jnp.zeros(t.shape[:-1], _U32), xs)
+    return jnp.moveaxis(outs, 0, -1)
 
 
 def _sub_limbs(a, b):
     """(a - b) with borrow chain over canonical limbs.
 
     Returns (diff_limbs, borrow_out) where borrow_out==1 iff a < b."""
-    n = a.shape[-1]
-    outs = []
-    borrow = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), _U32)
+    batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    n = max(a.shape[-1], b.shape[-1])
+    a = jnp.broadcast_to(a, batch + (n,))
+    b = jnp.broadcast_to(b, batch + (n,))
     base = np.uint32(1 << LIMB_BITS)
-    for i in range(n):
-        v = a[..., i] + base - b[..., i] - borrow
-        outs.append(v & _MASK)
-        borrow = jnp.uint32(1) - (v >> LIMB_BITS)
-    return jnp.stack(outs, axis=-1), borrow
+
+    def step(borrow, ab):
+        ai, bi = ab
+        v = ai + base - bi - borrow
+        return jnp.uint32(1) - (v >> LIMB_BITS), v & _MASK
+
+    borrow, outs = jax.lax.scan(
+        step,
+        jnp.zeros(batch, _U32),
+        (jnp.moveaxis(a, -1, 0), jnp.moveaxis(b, -1, 0)),
+    )
+    return jnp.moveaxis(outs, 0, -1), borrow
 
 
 def _cond_sub_p(t17, fc: FieldConsts):
@@ -133,20 +148,26 @@ def _sub(fc, a, b):
 
 def _mont_mul(fc, a, b):
     batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    t = jnp.zeros(batch + (NUM_LIMBS + 1,), _U32)
+    b = jnp.broadcast_to(b, batch + (NUM_LIMBS,))
+    a = jnp.broadcast_to(a, batch + (NUM_LIMBS,))
+    t0 = jnp.zeros(batch + (NUM_LIMBS + 1,), _U32)
     p = fc.p_limbs
-    for i in range(NUM_LIMBS):
-        ai = a[..., i : i + 1]
-        prod = ai * b  # (..., 16) full 32-bit products of 16-bit limbs
+    n0inv = fc.n0inv
+
+    def step(t, ai):
+        prod = ai[..., None] * b  # (..., 16) full 32-bit products of 16-bit limbs
         # accumulate lo into t[0:16] and hi into t[1:17] without scatters
         t = t + _pad_last(prod & _MASK, 0, 1) + _pad_last(prod >> LIMB_BITS, 1, 0)
-        m = ((t[..., 0] & _MASK) * fc.n0inv) & _MASK
+        m = ((t[..., 0] & _MASK) * n0inv) & _MASK
         prod2 = m[..., None] * p
         t = t + _pad_last(prod2 & _MASK, 0, 1) + _pad_last(prod2 >> LIMB_BITS, 1, 0)
-        # shift one limb down; t[0] ≡ 0 mod 2^16, its upper bits carry into the
-        # next limb.
+        # shift one limb down; t[0] ≡ 0 mod 2^16, its upper bits carry into
+        # the next limb.
         carry0 = t[..., 0] >> LIMB_BITS
         t = _pad_last(t[..., 1:], 0, 1) + _pad_last(carry0[..., None], 0, NUM_LIMBS)
+        return t, None
+
+    t, _ = jax.lax.scan(step, t0, jnp.moveaxis(a, -1, 0))
     t17 = _carry_prop(t, NUM_LIMBS + 1)
     return _cond_sub_p(t17, fc)
 
