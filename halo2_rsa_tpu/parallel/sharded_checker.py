@@ -1,0 +1,112 @@
+"""Multi-chip constraint checking.
+
+The reference is single-process (SURVEY.md §2.3); here the checker shards the
+two long dimensions over a ``jax.sharding.Mesh``:
+
+* ``rows``  — gate rows / lookup entries (the 2^k-row dimension of halo2),
+* ``data``  — independent circuit instances (batch witness columns).
+
+Witness arrays are replicated along ``rows`` (gathers index arbitrarily) and
+sharded along ``data``; gate index/coefficient-id arrays are sharded along
+``rows``. Violation counts reduce with XLA-inserted collectives (psum over
+ICI). All jit; no shard_map needed — GSPMD propagates the shardings.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..circuit.checker import CompiledCircuit, eval_gates, eval_lookup
+from ..fields import vecfield
+
+
+def make_mesh(shape=None, axis_names=("data", "rows")) -> Mesh:
+    """A (data, rows) mesh over all local devices by default."""
+    devs = np.array(jax.devices())
+    n = len(devs)
+    if shape is None:
+        d = 2 if n % 2 == 0 and n > 1 else 1
+        shape = (d, n // d)
+    return Mesh(devs.reshape(shape), axis_names)
+
+
+class ShardedChecker:
+    """Row- and batch-sharded constraint evaluation for one circuit shape."""
+
+    def __init__(self, compiled: CompiledCircuit, mesh: Mesh):
+        self.compiled = compiled
+        self.mesh = mesh
+        self.fc = compiled.fc
+        rows = NamedSharding(mesh, P("rows"))
+        rows2 = NamedSharding(mesh, P("rows", None))
+        repl = NamedSharding(mesh, P())
+        R = compiled.num_gates
+        pad_r = -R % mesh.shape["rows"]
+        # pad gate rows to a multiple of the rows axis; padded rows reference
+        # witness cell 0 with all-zero coefficients (trivially satisfied).
+        gate_idx = np.concatenate(
+            [compiled.gate_idx, np.zeros((pad_r, 5), np.int32)], axis=0
+        )
+        zero_cid = compiled.coef_table.shape[0]
+        coef_table = np.concatenate(
+            [compiled.coef_table, np.zeros((1, 8, 16), np.uint32)], axis=0
+        )
+        coef_id = np.concatenate(
+            [compiled.gate_coef_id, np.full((pad_r,), zero_cid, np.int32)]
+        )
+        self.gate_idx = jax.device_put(gate_idx, rows2)
+        self.coef_id = jax.device_put(coef_id, rows)
+        self.coef_table = jax.device_put(coef_table, repl)
+        self.lookup_groups = []
+        for bits, idx in compiled.lookup_groups:
+            pad_l = -idx.shape[0] % mesh.shape["rows"]
+            # padded lookups point at cell 0 (constant zero — always in range)
+            idx = np.concatenate([idx, np.zeros((pad_l,), np.int32)])
+            self.lookup_groups.append((bits, jax.device_put(idx, rows)))
+        self.witness_sharding = NamedSharding(mesh, P("data", None, None))
+
+        lookup_bits = tuple(b for b, _ in self.lookup_groups)
+
+        @functools.partial(
+            jax.jit, static_argnums=(0,), out_shardings=NamedSharding(mesh, P("data"))
+        )
+        def _check(lookup_bits_, gate_idx_, coef_id_, coef_table_, w_std, *lk_idx):
+            # w_std: (B, W, 16) standard-form limbs, sharded on data axis
+            w_mont = vecfield._mont_mul(
+                self.fc, w_std, jnp.broadcast_to(self.fc.r2_limbs, w_std.shape)
+            )
+            coef = coef_table_[coef_id_]
+
+            def one(wm, ws):
+                ok = eval_gates(self.fc, gate_idx_, coef, wm)
+                viol = jnp.sum(~ok).astype(jnp.int32)
+                for bits, idx in zip(lookup_bits_, lk_idx):
+                    lok = eval_lookup(ws[idx], bits)
+                    viol = viol + jnp.sum(~lok).astype(jnp.int32)
+                return viol
+
+            return jax.vmap(one)(w_mont, w_std)
+
+        self._check = _check
+        self._lookup_bits = lookup_bits
+
+    def shard_witness(self, w_std_batch: np.ndarray):
+        """(B, W, 16) -> device array sharded over the data axis."""
+        return jax.device_put(w_std_batch, self.witness_sharding)
+
+    def check(self, w_std_batch) -> np.ndarray:
+        """Returns per-instance violation counts (B,)."""
+        viol = self._check(
+            self._lookup_bits,
+            self.gate_idx,
+            self.coef_id,
+            self.coef_table,
+            w_std_batch,
+            *[idx for _, idx in self.lookup_groups],
+        )
+        return np.asarray(viol)
