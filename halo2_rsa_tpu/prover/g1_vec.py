@@ -1,0 +1,156 @@
+"""Vectorized BN254 G1 arithmetic for TPU.
+
+Points in homogeneous projective coordinates (X, Y, Z) over Fq, limbs in the
+trailing axis, batch dims leading. Uses the Renes–Costello–Batina *complete*
+addition/doubling formulas for a=0 curves (no branches, infinity = (0,1,0)
+handled uniformly) — exactly what SIMD/Pallas execution needs: every lane
+runs the same instruction stream regardless of special cases.
+
+Field ops come from ``fields.vecfield`` (Montgomery, 16x16-bit limbs).
+All coordinates are kept in the Montgomery domain.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import vecfield
+from ..fields.field import BN254_FQ, NUM_LIMBS
+from ..fields.vecfield import _add, _mont_mul, _sub
+from . import curve
+
+FQ = vecfield.consts(BN254_FQ)
+
+# b3 = 3*b = 9 for y^2 = x^3 + 3
+
+
+def _mul9(a):
+    """9*a via adds (cheaper than a Montgomery mul)."""
+    d = _add(FQ, a, a)  # 2a
+    d = _add(FQ, d, d)  # 4a
+    d = _add(FQ, d, d)  # 8a
+    return _add(FQ, d, a)
+
+
+def point_add(p1, p2):
+    """Complete projective addition (RCB15 algorithm 7, a=0).
+
+    p = (X, Y, Z) tuple of (..., 16) arrays. ~12 field muls.
+    """
+    x1, y1, z1 = p1
+    x2, y2, z2 = p2
+    t0 = _mont_mul(FQ, x1, x2)
+    t1 = _mont_mul(FQ, y1, y2)
+    t2 = _mont_mul(FQ, z1, z2)
+    t3 = _mont_mul(FQ, _add(FQ, x1, y1), _add(FQ, x2, y2))
+    t4 = _add(FQ, t0, t1)
+    t3 = _sub(FQ, t3, t4)  # X1Y2 + X2Y1
+    t4 = _mont_mul(FQ, _add(FQ, y1, z1), _add(FQ, y2, z2))
+    x3 = _add(FQ, t1, t2)
+    t4 = _sub(FQ, t4, x3)  # Y1Z2 + Y2Z1
+    x3 = _mont_mul(FQ, _add(FQ, x1, z1), _add(FQ, x2, z2))
+    y3 = _add(FQ, t0, t2)
+    y3 = _sub(FQ, x3, y3)  # X1Z2 + X2Z1
+    x3 = _add(FQ, t0, t0)
+    t0 = _add(FQ, x3, t0)  # 3*X1X2
+    t2 = _mul9(t2)  # b3*Z1Z2
+    z3 = _add(FQ, t1, t2)
+    t1 = _sub(FQ, t1, t2)
+    y3 = _mul9(y3)  # b3*(X1Z2 + X2Z1)
+    x3 = _mont_mul(FQ, t4, y3)
+    t2 = _mont_mul(FQ, t3, t1)
+    x3 = _sub(FQ, t2, x3)
+    y3 = _mont_mul(FQ, y3, t0)
+    t1 = _mont_mul(FQ, t1, z3)
+    y3 = _add(FQ, t1, y3)
+    t0 = _mont_mul(FQ, t0, t3)
+    z3 = _mont_mul(FQ, z3, t4)
+    z3 = _add(FQ, z3, t0)
+    return (x3, y3, z3)
+
+
+def point_double(p):
+    """Complete projective doubling (RCB15 algorithm 9, a=0). ~7 muls."""
+    x, y, z = p
+    t0 = _mont_mul(FQ, y, y)
+    z3 = _add(FQ, t0, t0)
+    z3 = _add(FQ, z3, z3)
+    z3 = _add(FQ, z3, z3)  # 8Y^2
+    t1 = _mont_mul(FQ, y, z)
+    t2 = _mont_mul(FQ, z, z)
+    t2 = _mul9(t2)  # b3*Z^2
+    x3 = _mont_mul(FQ, t2, z3)
+    y3 = _add(FQ, t0, t2)
+    z3 = _mont_mul(FQ, t1, z3)
+    t1 = _add(FQ, t2, t2)
+    t2 = _add(FQ, t1, t2)
+    t0 = _sub(FQ, t0, t2)
+    y3 = _mont_mul(FQ, t0, y3)
+    y3 = _add(FQ, x3, y3)
+    t1 = _mont_mul(FQ, x, y)
+    x3 = _mont_mul(FQ, t0, t1)
+    x3 = _add(FQ, x3, x3)
+    return (x3, y3, z3)
+
+
+def point_select(mask, p_true, p_false):
+    """Elementwise select between two point batches; mask (...,) bool."""
+    m = mask[..., None]
+    return tuple(jnp.where(m, a, b) for a, b in zip(p_true, p_false))
+
+
+def identity(batch_shape=()):
+    """(0, 1, 0) in Montgomery form, broadcast to batch_shape."""
+    zero = jnp.zeros(batch_shape + (NUM_LIMBS,), jnp.uint32)
+    one_m = jnp.broadcast_to(jnp.asarray(FQ.r_limbs), batch_shape + (NUM_LIMBS,))
+    return (zero, one_m, zero)
+
+
+def is_identity(p):
+    """(...,) bool: Z == 0."""
+    return vecfield.is_zero(p[2])
+
+
+# ---------------------------------------------------------------------------
+# host <-> device conversion
+# ---------------------------------------------------------------------------
+
+
+def points_to_device(points) -> tuple:
+    """List of host affine points (x, y) or None -> projective device arrays.
+
+    Infinity becomes (0, 1, 0)."""
+    xs, ys, zs = [], [], []
+    for pt in points:
+        if pt is None:
+            xs.append(0)
+            ys.append(1)
+            zs.append(0)
+        else:
+            xs.append(pt[0])
+            ys.append(pt[1])
+            zs.append(1)
+    return (
+        vecfield.from_ints(FQ, xs),
+        vecfield.from_ints(FQ, ys),
+        vecfield.from_ints(FQ, zs),
+    )
+
+
+def points_from_device(p) -> list:
+    """Projective device arrays -> list of host affine points (or None)."""
+    xs = vecfield.to_ints(FQ, p[0])
+    ys = vecfield.to_ints(FQ, p[1])
+    zs = vecfield.to_ints(FQ, p[2])
+    out = []
+    for x, y, z in zip(xs, ys, zs):
+        if z == 0:
+            out.append(None)
+        else:
+            zinv = pow(z, -1, curve.Q)
+            out.append((x * zinv % curve.Q, y * zinv % curve.Q))
+    return out
