@@ -268,8 +268,8 @@ def inv(fc: FieldConsts, a):
 # ---------------------------------------------------------------------------
 
 
-def from_ints(fc: FieldConsts, xs, mont: bool = True):
-    """Python ints -> device limb array, optionally in Montgomery form."""
+def from_ints_np(fc: FieldConsts, xs, mont: bool = True) -> np.ndarray:
+    """Python ints -> host numpy limb array (safe inside jit traces)."""
     field = fc.field
     if mont:
         xs = [field.to_mont(x % field.p) for x in xs]
@@ -280,7 +280,12 @@ def from_ints(fc: FieldConsts, xs, mont: bool = True):
         for i in range(NUM_LIMBS):
             arr[j, i] = x & LIMB_MASK
             x >>= LIMB_BITS
-    return jnp.asarray(arr)
+    return arr
+
+
+def from_ints(fc: FieldConsts, xs, mont: bool = True):
+    """Python ints -> device limb array, optionally in Montgomery form."""
+    return jnp.asarray(from_ints_np(fc, xs, mont))
 
 
 def to_ints(fc: FieldConsts, arr, mont: bool = True) -> list[int]:
