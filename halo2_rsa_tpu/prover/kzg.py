@@ -22,7 +22,7 @@ import numpy as np
 
 from ..fields import vecfield
 from ..fields.field import BN254_FR
-from ..fields.vecfield import _add, _mont_mul
+from ..fields.vecfield import add as _vadd, mont_mul as _vmul
 from . import curve, g1_vec, msm
 from .g1_vec import FQ, identity, point_add, point_select
 
@@ -116,7 +116,7 @@ def _suffix_sums(c):
         shifted = jnp.concatenate(
             [s[stride:], jnp.zeros((stride, 16), jnp.uint32)], axis=0
         )
-        s = _add(FR, s, shifted)
+        s = _vadd(FR, s, shifted)
     return s
 
 
@@ -137,11 +137,11 @@ def quotient_poly(coeffs_mont, z: int):
         zi_pows[i] = zi_pows[i - 1] * z_inv % R
     zip_ = jnp.asarray(vecfield.from_ints_np(FR, zi_pows, mont=True))
 
-    c = _mont_mul(FR, coeffs_mont, zp)  # a_j z^j (Montgomery)
+    c = _vmul(FR, coeffs_mont, zp)  # a_j z^j (Montgomery)
     s = _suffix_sums(c)
     p_z_mont = s[0]
     s_next = jnp.concatenate([s[1:], jnp.zeros((1, 16), jnp.uint32)], axis=0)
-    q = _mont_mul(FR, s_next, zip_)
+    q = _vmul(FR, s_next, zip_)
     p_z = vecfield.to_ints(FR, p_z_mont[None], mont=True)[0]
     return q, p_z
 

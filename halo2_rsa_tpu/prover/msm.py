@@ -59,21 +59,23 @@ def _segmented_bucket_sums(digits, points, num_buckets):
 
     head = jnp.concatenate([jnp.ones((1,), bool), ds[1:] != ds[:-1]])
     steps = max(1, int(np.ceil(np.log2(max(n, 2)))))
-    f = head
-    for s in range(steps):
-        stride = 1 << s
-        if stride >= n:
-            break
-        # shifted predecessor at distance `stride`
-        prev = tuple(
-            jnp.concatenate([jnp.zeros_like(c[:stride]), c[:-stride]], axis=0)
-            for c in p
-        )
-        prev_f = jnp.concatenate([jnp.ones((stride,), bool), f[:-stride]])
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+
+    def body(s, carry):
+        p, f = carry
+        stride = jnp.int32(1) << s
+        in_range = pos >= stride
+        # predecessor at distance `stride` (roll handles the wrap; the
+        # wrapped lanes are masked out via `in_range`)
+        prev = tuple(jnp.roll(c, stride, axis=0) for c in p)
+        prev_f = jnp.where(in_range, jnp.roll(f, stride, axis=0), True)
         combined = point_add(p, prev)
-        # take the combine only when no segment head lies in (i-stride, i]
-        p = point_select(f, p, combined)
+        take = (~f) & in_range
+        p = point_select(take, combined, p)
         f = f | prev_f
+        return (p, f)
+
+    p, _ = jax.lax.fori_loop(0, steps, body, (p, head))
 
     end = jnp.concatenate([ds[1:] != ds[:-1], jnp.ones((1,), bool)])
     # scatter segment totals to their bucket slot; non-ends go to a trash slot

@@ -1,0 +1,758 @@
+"""PLONK-style SNARK prover/verifier over the trace constraint system.
+
+The real-prover analog of halo2's ``keygen_vk``/``keygen_pk``/``create_proof``
+/``verify_proof`` pipeline (/root/reference/benches/bench.rs:228-343),
+re-designed for the vectorized trace arithmetization:
+
+* **Columns**: 5 advice wires + 8 fixed coefficient columns, one row per
+  gate (padded to n = 2^k). The gate identity is the trace relation.
+* **Copy constraints**: cells sharing a witness index form permutation
+  cycles; a single grand-product argument over all wire columns (distinct
+  coset ids k_w, challenges beta/gamma).
+* **Public inputs**: one extra row per exposed cell; the verifier folds them
+  in through the public-input polynomial PI(X).
+* **Range lookups**: the checker's (cell, bits) lookups become, per table, a
+  value column + multiplicity column + a **log-derivative (LogUp) running
+  sum** — the modern, TPU-friendly replacement for halo2's permuted-multiset
+  lookup (same capability: batched membership in a 2^b table; the input
+  column is copy-constrained into the witness via the same permutation
+  argument).
+* **Quotient**: all identities folded with alpha, evaluated on an extended
+  coset domain (NTT), divided by X^n - 1, split into degree-<n pieces.
+* **Openings**: every committed polynomial is opened at challenge x (Z and
+  lookup h additionally at omega*x) with GWC-style batched KZG witnesses and
+  a 2-pairing final check.
+
+Compute mapping: column iNTT/coset-NTTs and pointwise quotient algebra are
+vectorized Fr limb kernels; commitments are Pippenger MSMs; prefix products
+(grand product Z) and prefix sums (LogUp h) use log-step scans. The verifier
+is host-side Python ints (O(log n) work + 2 pairings).
+
+No zero-knowledge blinding yet (proofs are succinct argument-of-knowledge;
+hiding is round-2 work and changes only commitment blinding rows).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..circuit.checker import CompiledCircuit
+from ..fields import vecfield
+from ..fields.field import BN254_FR
+from ..fields.vecfield import add as _vadd, mont_mul as _vmul, sub as _vsub
+from . import curve, g1_vec, kzg, msm, ntt
+from .transcript import Transcript, TranscriptReader
+
+FR = vecfield.consts(BN254_FR)
+R = BN254_FR.p
+
+COSET_GEN = 7  # extended-domain coset representative; also the base for k_w
+
+
+# ---------------------------------------------------------------------------
+# keygen
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class VerifyingKey:
+    k: int
+    n: int
+    num_wires: int  # 5 + num lookup columns
+    lookup_bits: tuple  # per-table bit widths
+    fixed_commitments: list  # [Q_c] (8)
+    sigma_commitments: list  # per wire column
+    table_commitments: list  # per lookup table
+    pub_rows: list  # row index per public input
+    srs_g2_gen: tuple
+    srs_g2_tau: tuple
+    g1_gen: tuple = curve.G1_GEN
+
+
+@dataclasses.dataclass
+class ProvingKey:
+    vk: VerifyingKey
+    srs: kzg.SRS
+    fixed_cols: np.ndarray  # (8, n) object ints? -> stored as int lists
+    sigma_cols: list  # per wire: list of ints (sigma id values)
+    table_cols: list  # per table: list of ints
+    wire_source: np.ndarray  # (num_wires, n) int32: witness index feeding each cell
+    lookup_rows: list  # per table: list of (row, witness_idx)
+    k_cosets: list  # k_w coset ids
+
+
+def _omega(k: int) -> int:
+    return ntt.root_of_unity(k)
+
+
+def keygen(compiled: CompiledCircuit, srs: kzg.SRS, k: int | None = None):
+    """Build proving/verifying keys from a compiled trace."""
+    R_rows = compiled.num_gates
+    num_pub = len(compiled.instance_idx)
+    lookup_groups = compiled.lookup_groups
+    num_tables = len(lookup_groups)
+    table_sizes = [1 << bits for bits, _ in lookup_groups]
+    lookup_counts = [idx.shape[0] for _, idx in lookup_groups]
+
+    rows_needed = max(R_rows + num_pub, max(table_sizes, default=1), max(lookup_counts, default=1))
+    if k is None:
+        k = max(2, (rows_needed - 1).bit_length())
+    n = 1 << k
+    assert n >= rows_needed, f"circuit needs {rows_needed} rows > 2^{k}"
+    assert k + 4 <= ntt.TWO_ADICITY  # extended coset domain is 16n
+
+    num_wires = 5 + num_tables
+    omega = _omega(k)
+
+    # --- wire sources: which witness index feeds each (wire, row) cell ---
+    wire_source = np.zeros((num_wires, n), np.int32)  # default: cell 0
+    wire_source[:5, :R_rows] = compiled.gate_idx.T
+    # public-input rows: advice wire 0 carries the exposed witness value
+    pub_rows = []
+    for j, widx in enumerate(compiled.instance_idx):
+        row = R_rows + j
+        wire_source[0, row] = widx
+        pub_rows.append(row)
+    # lookup input columns (wire 5 + t)
+    lookup_rows = []
+    for t, (bits, idx) in enumerate(lookup_groups):
+        wire_source[5 + t, : idx.shape[0]] = idx
+        lookup_rows.append(idx)
+
+    # --- fixed coefficient columns --------------------------------------
+    # (coef_table is stored in Montgomery form; convert back to standard ints)
+    assert compiled.field is BN254_FR, "SNARK proving requires BN254 Fr circuits"
+    table_int = {}
+    for cid, row in enumerate(compiled.coef_table):
+        table_int[cid] = [
+            BN254_FR.from_mont(vecfield_limbs_to_int(row[c])) for c in range(8)
+        ]
+    fixed_cols = [[0] * n for _ in range(8)]
+    for i in range(R_rows):
+        vals = table_int[int(compiled.gate_coef_id[i])]
+        for c in range(8):
+            fixed_cols[c][i] = vals[c]
+    # public-input rows: gate reads wire0 with coefficient 1; PI(X) supplies -value
+    for row in pub_rows:
+        fixed_cols[0][row] = 1
+
+    # --- permutation cycles over (wire, row) cells ----------------------
+    # id value of cell (w, i) is k_w * omega^i; sigma maps each cell to the
+    # next cell in its witness cycle.
+    k_cosets = _coset_ids(num_wires, k)
+    omega_pows = [1] * n
+    for i in range(1, n):
+        omega_pows[i] = omega_pows[i - 1] * omega % R
+
+    groups: dict[int, list] = {}
+    for w in range(num_wires):
+        col = wire_source[w]
+        for i in range(n):
+            groups.setdefault(int(col[i]), []).append((w, i))
+
+    sigma_cols = [[0] * n for _ in range(num_wires)]
+    for cells in groups.values():
+        m = len(cells)
+        for j, (w, i) in enumerate(cells):
+            w2, i2 = cells[(j + 1) % m]
+            sigma_cols[w][i] = k_cosets[w2] * omega_pows[i2] % R
+
+    # --- lookup tables ---------------------------------------------------
+    table_cols = []
+    for bits, _ in lookup_groups:
+        col = [i if i < (1 << bits) else 0 for i in range(n)]
+        table_cols.append(col)
+
+    # --- commitments for the verifying key -------------------------------
+    fixed_commitments = [commit_col(srs, col, k) for col in fixed_cols]
+    sigma_commitments = [commit_col(srs, col, k) for col in sigma_cols]
+    table_commitments = [commit_col(srs, col, k) for col in table_cols]
+
+    vk = VerifyingKey(
+        k=k,
+        n=n,
+        num_wires=num_wires,
+        lookup_bits=tuple(bits for bits, _ in lookup_groups),
+        fixed_commitments=fixed_commitments,
+        sigma_commitments=sigma_commitments,
+        table_commitments=table_commitments,
+        pub_rows=pub_rows,
+        srs_g2_gen=srs.g2_gen,
+        srs_g2_tau=srs.g2_tau,
+    )
+    pk = ProvingKey(
+        vk=vk,
+        srs=srs,
+        fixed_cols=fixed_cols,
+        sigma_cols=sigma_cols,
+        table_cols=table_cols,
+        wire_source=wire_source,
+        lookup_rows=lookup_rows,
+        k_cosets=k_cosets,
+    )
+    return pk, vk
+
+
+def vecfield_limbs_to_int(limbs) -> int:
+    x = 0
+    for v in reversed(list(limbs)):
+        x = (x << 16) | int(v)
+    return x
+
+
+def _coset_ids(num_wires: int, k: int) -> list:
+    """Distinct coset representatives k_w = COSET_GEN^w, verified disjoint."""
+    ids = [1]
+    g = COSET_GEN
+    cur = 1
+    for _ in range(num_wires - 1):
+        cur = cur * g % R
+        ids.append(cur)
+    n = 1 << k
+    for d in range(1, num_wires):
+        assert pow(pow(g, d, R), n, R) != 1, "coset collision"
+    return ids
+
+
+# ---------------------------------------------------------------------------
+# polynomial helpers (device)
+# ---------------------------------------------------------------------------
+
+
+def col_to_poly(col_ints: list, k: int):
+    """Column evaluations (ints, length n) -> coefficient array (Montgomery)."""
+    a = jnp.asarray(vecfield.from_ints_np(FR, col_ints, mont=True))
+    return ntt.intt(a, k)
+
+
+def commit_col(srs: kzg.SRS, col_ints: list, k: int):
+    """Commit to the polynomial interpolating a column."""
+    coeffs_mont = col_to_poly(col_ints, k)
+    coeffs_std = vecfield.from_mont(FR, coeffs_mont)
+    pts = tuple(c[: coeffs_std.shape[0]] for c in srs.g1_powers)
+    res = msm.msm(coeffs_std, pts)
+    return g1_vec.points_from_device(tuple(c[None] for c in res))[0]
+
+
+def commit_poly_mont(srs: kzg.SRS, coeffs_mont):
+    coeffs_std = vecfield.from_mont(FR, coeffs_mont)
+    pts = tuple(c[: coeffs_std.shape[0]] for c in srs.g1_powers)
+    res = msm.msm(coeffs_std, pts)
+    return g1_vec.points_from_device(tuple(c[None] for c in res))[0]
+
+
+def coset_eval(coeffs_mont, log_ext: int, coset: int):
+    """Evaluate a (deg < n) poly on the coset c*H_ext. Returns (N_ext,16)."""
+    n = coeffs_mont.shape[0]
+    n_ext = 1 << log_ext
+    pows = [1] * n
+    for i in range(1, n):
+        pows[i] = pows[i - 1] * coset % R
+    scaled = _vmul(FR, coeffs_mont, jnp.asarray(vecfield.from_ints_np(FR, pows, mont=True)))
+    padded = jnp.concatenate(
+        [scaled, jnp.zeros((n_ext - n, 16), jnp.uint32)], axis=0
+    )
+    return ntt.ntt(padded, log_ext)
+
+
+def coset_interp(evals_mont, log_ext: int, coset: int):
+    """Inverse of coset_eval: evaluations on c*H_ext -> coefficients."""
+    coeffs = ntt.intt(evals_mont, log_ext)
+    n_ext = 1 << log_ext
+    cinv = pow(coset, -1, R)
+    pows = [1] * n_ext
+    for i in range(1, n_ext):
+        pows[i] = pows[i - 1] * cinv % R
+    return _vmul(FR, coeffs, jnp.asarray(vecfield.from_ints_np(FR, pows, mont=True)))
+
+
+def prefix_product(vals_mont):
+    """Inclusive prefix product via log-step scan (Montgomery)."""
+    n = vals_mont.shape[0]
+    steps = int(np.ceil(np.log2(max(n, 2))))
+    p = vals_mont
+    one = jnp.asarray(vecfield.from_ints_np(FR, [1], mont=True))[0]
+    for s in range(steps):
+        stride = 1 << s
+        if stride >= n:
+            break
+        shifted = jnp.concatenate(
+            [jnp.broadcast_to(one, (stride, 16)), p[:-stride]], axis=0
+        )
+        p = _vmul(FR, p, shifted)
+    return p
+
+
+def prefix_sum(vals_mont):
+    """Inclusive prefix sum via log-step scan (mod r)."""
+    n = vals_mont.shape[0]
+    steps = int(np.ceil(np.log2(max(n, 2))))
+    p = vals_mont
+    for s in range(steps):
+        stride = 1 << s
+        if stride >= n:
+            break
+        shifted = jnp.concatenate(
+            [jnp.zeros((stride, 16), jnp.uint32), p[:-stride]], axis=0
+        )
+        p = _vadd(FR, p, shifted)
+    return p
+
+
+def poly_eval_host(coeffs_ints: list, x: int) -> int:
+    acc = 0
+    for a in reversed(coeffs_ints):
+        acc = (acc * x + a) % R
+    return acc
+
+
+def poly_to_ints(coeffs_mont) -> list:
+    return vecfield.to_ints(FR, coeffs_mont, mont=True)
+
+
+# ---------------------------------------------------------------------------
+# prove
+# ---------------------------------------------------------------------------
+
+
+def _from_ints(vals):
+    return jnp.asarray(vecfield.from_ints_np(FR, vals, mont=True))
+
+
+def prove(pk: ProvingKey, witness_values: list[int], public_inputs: list[int]) -> bytes:
+    """Produce a proof for the trace with the given witness.
+
+    ``public_inputs`` must match the exposed instance cells (checked)."""
+    vk = pk.vk
+    n, k = vk.n, vk.k
+    num_wires = vk.num_wires
+    num_tables = len(vk.lookup_bits)
+    omega = _omega(k)
+    log_ext = k + 4
+    coset = COSET_GEN
+
+    pubs = [p % R for p in public_inputs]
+    assert len(pubs) == len(vk.pub_rows)
+
+    t = Transcript()
+    _absorb_vk(t, vk, pubs)
+
+    # --- round 1: wire columns + lookup multiplicities -------------------
+    wire_cols = [
+        [witness_values[idx] for idx in pk.wire_source[w]] for w in range(num_wires)
+    ]
+    for row, p in zip(vk.pub_rows, pubs):
+        assert wire_cols[0][row] == p, "public input mismatch"
+
+    m_cols = []
+    for tt in range(num_tables):
+        bits = vk.lookup_bits[tt]
+        counts = np.zeros(n, np.int64)
+        vals = np.asarray(wire_cols[5 + tt], dtype=np.int64)
+        bc = np.bincount(vals, minlength=1 << bits)
+        counts[: 1 << bits] = bc[: 1 << bits]
+        m_cols.append([int(x) for x in counts])
+
+    wire_polys = [col_to_poly(col, k) for col in wire_cols]
+    m_polys = [col_to_poly(col, k) for col in m_cols]
+    wire_comms = [commit_poly_mont(pk.srs, p) for p in wire_polys]
+    m_comms = [commit_poly_mont(pk.srs, p) for p in m_polys]
+    for c in wire_comms + m_comms:
+        t.write_point(c)
+
+    beta = t.challenge()
+    gamma = t.challenge()
+    beta_lk = t.challenge()
+
+    # --- round 2: permutation grand product + LogUp running sums ---------
+    omega_pows = [1] * n
+    for i in range(1, n):
+        omega_pows[i] = omega_pows[i - 1] * omega % R
+
+    wire_dev = [_from_ints(col) for col in wire_cols]
+    num = None
+    den = None
+    for w in range(num_wires):
+        idv = [vk_id(pk.k_cosets[w], omega_pows[i], beta, gamma) for i in range(n)]
+        sgv = [(beta * pk.sigma_cols[w][i] + gamma) % R for i in range(n)]
+        fn = _vadd(FR, wire_dev[w], _from_ints(idv))
+        fd = _vadd(FR, wire_dev[w], _from_ints(sgv))
+        num = fn if num is None else _vmul(FR, num, fn)
+        den = fd if den is None else _vmul(FR, den, fd)
+    ratio = _vmul(FR, num, vecfield.inv(FR, den))
+    zprod = prefix_product(ratio)
+    one_m = _from_ints([1])
+    z_col = jnp.concatenate([one_m, zprod[:-1]], axis=0)
+    z_vals = poly_to_ints(z_col)
+    z_poly = ntt.intt(z_col, k)
+    z_comm = commit_poly_mont(pk.srs, z_poly)
+    t.write_point(z_comm)
+
+    h_polys = []
+    h_comms = []
+    h_cols_ints = []
+    for tt in range(num_tables):
+        a = wire_dev[5 + tt]
+        tbl = _from_ints(pk.table_cols[tt])
+        m = _from_ints(m_cols[tt])
+        beta_arr = _from_ints([beta_lk])
+        inv_a = vecfield.inv(FR, _vadd(FR, a, jnp.broadcast_to(beta_arr[0], a.shape)))
+        inv_t = vecfield.inv(FR, _vadd(FR, tbl, jnp.broadcast_to(beta_arr[0], tbl.shape)))
+        term = _vsub(FR, inv_a, _vmul(FR, m, inv_t))
+        ps = prefix_sum(term)
+        h_col = jnp.concatenate([jnp.zeros((1, 16), jnp.uint32), ps[:-1]], axis=0)
+        h_cols_ints.append(poly_to_ints(h_col))
+        hp = ntt.intt(h_col, k)
+        h_polys.append(hp)
+        hc = commit_poly_mont(pk.srs, hp)
+        h_comms.append(hc)
+        t.write_point(hc)
+
+    alpha = t.challenge()
+
+    # --- round 3: quotient ------------------------------------------------
+    n_ext = 1 << log_ext
+    ext = lambda p: coset_eval(p, log_ext, coset)
+
+    wire_ext = [ext(p) for p in wire_polys]
+    fixed_polys = [col_to_poly(col, k) for col in pk.fixed_cols]
+    fixed_ext = [ext(p) for p in fixed_polys]
+    sigma_polys = [col_to_poly(col, k) for col in pk.sigma_cols]
+    sigma_ext = [ext(p) for p in sigma_polys]
+    table_polys = [col_to_poly(col, k) for col in pk.table_cols]
+    table_ext = [ext(p) for p in table_polys]
+    m_ext = [ext(p) for p in m_polys]
+    z_ext = ext(z_poly)
+    h_ext = [ext(p) for p in h_polys]
+
+    # PI polynomial
+    pi_col = [0] * n
+    for row, p in zip(vk.pub_rows, pubs):
+        pi_col[row] = (-p) % R
+    pi_ext = ext(col_to_poly(pi_col, k))
+
+    # Z(omega X), h(omega X): scale coefficients by omega^i before extending
+    def shift_poly(p):
+        sc = [1] * n
+        for i in range(1, n):
+            sc[i] = sc[i - 1] * omega % R
+        return _vmul(FR, p, _from_ints(sc))
+
+    zw_ext = ext(shift_poly(z_poly))
+    hw_ext = [ext(shift_poly(p)) for p in h_polys]
+
+    # L_0 on the extended coset
+    l0_col = [1] + [0] * (n - 1)
+    l0_ext = ext(col_to_poly(l0_col, k))
+
+    # identities
+    gate = _vmul(FR, fixed_ext[5], _vmul(FR, wire_ext[0], wire_ext[1]))
+    gate = _vadd(FR, gate, _vmul(FR, fixed_ext[6], _vmul(FR, wire_ext[2], wire_ext[3])))
+    for c in range(5):
+        gate = _vadd(FR, gate, _vmul(FR, fixed_ext[c], wire_ext[c]))
+    gate = _vadd(FR, gate, fixed_ext[7])
+    gate = _vadd(FR, gate, pi_ext)
+
+    one_ext = jnp.broadcast_to(_from_ints([1])[0], (n_ext, 16))
+    i_z1 = _vmul(FR, l0_ext, _vsub(FR, z_ext, one_ext))
+
+    # X values on the extended coset: coset * omega_ext^j
+    w_ext_root = ntt.root_of_unity(log_ext)
+    xs = [coset % R] * n_ext
+    for j in range(1, n_ext):
+        xs[j] = xs[j - 1] * w_ext_root % R
+    x_ext = _from_ints(xs)
+
+    pnum = None
+    pden = None
+    for w in range(num_wires):
+        kw_beta = [(beta * pk.k_cosets[w]) % R]
+        term_n = _vadd(
+            FR,
+            _vadd(FR, wire_ext[w], _vmul(FR, jnp.broadcast_to(_from_ints(kw_beta)[0], (n_ext, 16)), x_ext)),
+            jnp.broadcast_to(_from_ints([gamma])[0], (n_ext, 16)),
+        )
+        term_d = _vadd(
+            FR,
+            _vadd(FR, wire_ext[w], _vmul(FR, jnp.broadcast_to(_from_ints([beta])[0], (n_ext, 16)), sigma_ext[w])),
+            jnp.broadcast_to(_from_ints([gamma])[0], (n_ext, 16)),
+        )
+        pnum = term_n if pnum is None else _vmul(FR, pnum, term_n)
+        pden = term_d if pden is None else _vmul(FR, pden, term_d)
+    i_z2 = _vsub(FR, _vmul(FR, z_ext, pnum), _vmul(FR, zw_ext, pden))
+
+    acc = gate
+    apow = alpha
+    acc = _vadd(FR, acc, _vmul(FR, jnp.broadcast_to(_from_ints([apow])[0], (n_ext, 16)), i_z1))
+    apow = apow * alpha % R
+    acc = _vadd(FR, acc, _vmul(FR, jnp.broadcast_to(_from_ints([apow])[0], (n_ext, 16)), i_z2))
+    beta_lk_ext = jnp.broadcast_to(_from_ints([beta_lk])[0], (n_ext, 16))
+    for tt in range(num_tables):
+        a_b = _vadd(FR, wire_ext[5 + tt], beta_lk_ext)
+        t_b = _vadd(FR, table_ext[tt], beta_lk_ext)
+        i_h = _vsub(
+            FR,
+            _vmul(FR, _vsub(FR, hw_ext[tt], h_ext[tt]), _vmul(FR, a_b, t_b)),
+            _vsub(FR, t_b, _vmul(FR, m_ext[tt], a_b)),
+        )
+        apow = apow * alpha % R
+        acc = _vadd(FR, acc, _vmul(FR, jnp.broadcast_to(_from_ints([apow])[0], (n_ext, 16)), i_h))
+        i_h0 = _vmul(FR, l0_ext, h_ext[tt])
+        apow = apow * alpha % R
+        acc = _vadd(FR, acc, _vmul(FR, jnp.broadcast_to(_from_ints([apow])[0], (n_ext, 16)), i_h0))
+
+    # divide by vanishing X^n - 1 on the coset (period-16 values)
+    period = n_ext // n
+    van = []
+    cn = pow(coset, n, R)
+    wn = pow(w_ext_root, n, R)
+    cur = cn
+    for j in range(period):
+        van.append((cur - 1) % R)
+        cur = cur * wn % R
+    van_inv = [pow(v, -1, R) for v in van]
+    van_col = _from_ints([van_inv[j % period] for j in range(n_ext)])
+    t_ext = _vmul(FR, acc, van_col)
+    t_coeffs = coset_interp(t_ext, log_ext, coset)
+    t_ints = poly_to_ints(t_coeffs)
+    deg_limit = (num_wires + 1) * n + n
+    # For an honest witness the numerator vanishes on H and t has degree
+    # < deg_limit. An unsatisfied witness leaves junk above the bound; we
+    # truncate and proceed — the resulting proof simply fails verification
+    # (mirrors create_proof, which does not re-check satisfiability).
+    num_pieces = (deg_limit + n - 1) // n
+    pieces = [t_ints[j * n : (j + 1) * n] for j in range(num_pieces)]
+    pieces = [p + [0] * (n - len(p)) for p in pieces]
+    piece_polys = [_from_ints(p) for p in pieces]  # coefficient form already
+    piece_comms = []
+    for p in pieces:
+        coeffs_std = vecfield.from_ints(FR, p, mont=False)
+        pts = tuple(c[:n] for c in pk.srs.g1_powers)
+        res = msm.msm(coeffs_std, pts)
+        piece_comms.append(g1_vec.points_from_device(tuple(c[None] for c in res))[0])
+    for c in piece_comms:
+        t.write_point(c)
+
+    x = t.challenge()
+
+    # --- round 4: evaluations --------------------------------------------
+    # polys opened at x, in fixed order (verifier mirrors this order)
+    order_x = []
+    order_x += [poly_to_ints(p) for p in wire_polys]
+    order_x += [poly_to_ints(p) for p in fixed_polys]
+    order_x += [poly_to_ints(p) for p in sigma_polys]
+    order_x += [poly_to_ints(p) for p in table_polys]
+    order_x += [poly_to_ints(p) for p in m_polys]
+    order_x += [z_vals_to_coeffs(z_poly)]
+    order_x += [poly_to_ints(p) for p in h_polys]
+    order_x += [list(p) for p in pieces]
+    evals_x = [poly_eval_host(p, x) for p in order_x]
+
+    xw = x * omega % R
+    order_w = [z_vals_to_coeffs(z_poly)] + [poly_to_ints(p) for p in h_polys]
+    evals_w = [poly_eval_host(p, xw) for p in order_w]
+
+    for e in evals_x + evals_w:
+        t.write_scalar(e)
+
+    v = t.challenge()
+    u = t.challenge()
+
+    # --- round 5: GWC openings -------------------------------------------
+    def batch_open(polys_ints, evals, point):
+        f = [0] * n
+        vp = 1
+        val = 0
+        for p, e in zip(polys_ints, evals):
+            for i2, c2 in enumerate(p):
+                f[i2] = (f[i2] + vp * c2) % R
+            val = (val + vp * e) % R
+            vp = vp * v % R
+        vv, pi = kzg.open_at(pk.srs, f, point)
+        assert vv == val % R
+        return pi
+
+    pi_x = batch_open(order_x, evals_x, x)
+    pi_w = batch_open(order_w, evals_w, xw)
+    t.write_point(pi_x)
+    t.write_point(pi_w)
+
+    return t.proof_bytes()
+
+
+def z_vals_to_coeffs(z_poly):
+    return poly_to_ints(z_poly)
+
+
+def vk_id(k_w: int, omega_i: int, beta: int, gamma: int) -> int:
+    return (beta * k_w % R) * omega_i % R + gamma
+
+
+def _absorb_vk(t, vk: VerifyingKey, pubs) -> None:
+    for c in vk.fixed_commitments + vk.sigma_commitments + vk.table_commitments:
+        t.common_point(c)
+    t.common_scalar(vk.n)
+    for p in pubs:
+        t.common_scalar(p)
+
+
+# ---------------------------------------------------------------------------
+# verify
+# ---------------------------------------------------------------------------
+
+
+def verify(vk: VerifyingKey, proof: bytes, public_inputs: list[int]) -> bool:
+    try:
+        return _verify_inner(vk, proof, public_inputs)
+    except (AssertionError, IndexError, ValueError):
+        return False
+
+
+def _verify_inner(vk: VerifyingKey, proof: bytes, public_inputs: list[int]) -> bool:
+    n, k = vk.n, vk.k
+    num_wires = vk.num_wires
+    num_tables = len(vk.lookup_bits)
+    omega = _omega(k)
+
+    pubs = [p % R for p in public_inputs]
+    assert len(pubs) == len(vk.pub_rows)
+
+    t = TranscriptReader(proof)
+    _absorb_vk(t._t, vk, pubs)
+
+    wire_comms = [t.read_point() for _ in range(num_wires)]
+    m_comms = [t.read_point() for _ in range(num_tables)]
+    beta = t.challenge()
+    gamma = t.challenge()
+    beta_lk = t.challenge()
+    z_comm = t.read_point()
+    h_comms = [t.read_point() for _ in range(num_tables)]
+    alpha = t.challenge()
+    num_pieces = num_wires + 2
+    piece_comms = [t.read_point() for _ in range(num_pieces)]
+    x = t.challenge()
+
+    # evaluation order must mirror the prover
+    count_x = num_wires + 8 + num_wires + num_tables + num_tables + 1 + num_tables + num_pieces
+    evals_x = [t.read_scalar() for _ in range(count_x)]
+    count_w = 1 + num_tables
+    evals_w = [t.read_scalar() for _ in range(count_w)]
+
+    v = t.challenge()
+    u = t.challenge()
+    pi_x = t.read_point()
+    pi_w = t.read_point()
+    assert t.finished()
+
+    # unpack evals
+    pos = 0
+    wire_e = evals_x[pos : pos + num_wires]; pos += num_wires
+    fixed_e = evals_x[pos : pos + 8]; pos += 8
+    sigma_e = evals_x[pos : pos + num_wires]; pos += num_wires
+    table_e = evals_x[pos : pos + num_tables]; pos += num_tables
+    m_e = evals_x[pos : pos + num_tables]; pos += num_tables
+    z_e = evals_x[pos]; pos += 1
+    h_e = evals_x[pos : pos + num_tables]; pos += num_tables
+    piece_e = evals_x[pos : pos + num_pieces]; pos += num_pieces
+    zw_e = evals_w[0]
+    hw_e = evals_w[1:]
+
+    # --- the folded identity at x ---------------------------------------
+    xn = pow(x, n, R)
+    van_x = (xn - 1) % R
+    assert van_x != 0
+
+    # L_0(x) and PI(x) via Lagrange formula L_i(x) = omega^i (x^n-1) / (n (x - omega^i))
+    n_inv = pow(n, -1, R)
+
+    def lagrange(i):
+        wi = pow(omega, i, R)
+        return wi * van_x % R * pow((x - wi) % R, -1, R) % R * n_inv % R
+
+    l0_x = lagrange(0)
+    pi_x_val = 0
+    for row, p in zip(vk.pub_rows, pubs):
+        pi_x_val = (pi_x_val - p * lagrange(row)) % R
+
+    gate = fixed_e[7]
+    for c in range(5):
+        gate = (gate + fixed_e[c] * wire_e[c]) % R
+    gate = (gate + fixed_e[5] * wire_e[0] % R * wire_e[1]) % R
+    gate = (gate + fixed_e[6] * wire_e[2] % R * wire_e[3]) % R
+    gate = (gate + pi_x_val) % R
+
+    i_z1 = l0_x * ((z_e - 1) % R) % R
+
+    k_cosets = _coset_ids(num_wires, k)
+    pnum = 1
+    pden = 1
+    for w in range(num_wires):
+        pnum = pnum * ((wire_e[w] + beta * k_cosets[w] % R * x + gamma) % R) % R
+        pden = pden * ((wire_e[w] + beta * sigma_e[w] + gamma) % R) % R
+    i_z2 = (z_e * pnum - zw_e * pden) % R
+
+    acc = gate
+    apow = alpha
+    acc = (acc + apow * i_z1) % R
+    apow = apow * alpha % R
+    acc = (acc + apow * i_z2) % R
+    for tt in range(num_tables):
+        a_b = (wire_e[5 + tt] + beta_lk) % R
+        t_b = (table_e[tt] + beta_lk) % R
+        i_h = ((hw_e[tt] - h_e[tt]) % R * a_b % R * t_b - (t_b - m_e[tt] * a_b)) % R
+        apow = apow * alpha % R
+        acc = (acc + apow * i_h) % R
+        i_h0 = l0_x * h_e[tt] % R
+        apow = apow * alpha % R
+        acc = (acc + apow * i_h0) % R
+
+    t_at_x = 0
+    xp = 1
+    for e in piece_e:
+        t_at_x = (t_at_x + xp * e) % R
+        xp = xp * xn % R
+    assert acc == van_x * t_at_x % R, "folded identity fails at x"
+
+    # --- GWC batched opening check ---------------------------------------
+    comms_x = (
+        wire_comms
+        + vk.fixed_commitments
+        + vk.sigma_commitments
+        + vk.table_commitments
+        + m_comms
+        + [z_comm]
+        + h_comms
+        + piece_comms
+    )
+    comms_w = [z_comm] + h_comms
+
+    def fold_comms(comms, evals):
+        f = None
+        val = 0
+        vp = 1
+        for c, e in zip(comms, evals):
+            f = curve.g1_add(f, curve.g1_mul(c, vp))
+            val = (val + vp * e) % R
+            vp = vp * v % R
+        return f, val
+
+    f1, v1 = fold_comms(comms_x, evals_x)
+    f2, v2 = fold_comms(comms_w, evals_w)
+
+    xw = x * omega % R
+    # e(pi_x + u pi_w, [tau]_2) == e(E1 + x pi_x + u(E2 + xw pi_w), [1]_2)
+    lhs_g1 = curve.g1_add(pi_x, curve.g1_mul(pi_w, u))
+    e1 = curve.g1_add(f1, curve.g1_neg(curve.g1_mul(curve.G1_GEN, v1)))
+    e2 = curve.g1_add(f2, curve.g1_neg(curve.g1_mul(curve.G1_GEN, v2)))
+    rhs_g1 = curve.g1_add(
+        curve.g1_add(e1, curve.g1_mul(pi_x, x)),
+        curve.g1_mul(curve.g1_add(e2, curve.g1_mul(pi_w, xw)), u),
+    )
+    return curve.pairing_check(
+        [(lhs_g1, vk.srs_g2_tau), (curve.g1_neg(rhs_g1), vk.srs_g2_gen)]
+    )

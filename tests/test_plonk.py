@@ -1,0 +1,106 @@
+"""End-to-end SNARK tests: keygen -> prove -> verify over trace circuits."""
+
+import random
+
+import pytest
+
+from halo2_rsa_tpu.bigint import BigIntChip
+from halo2_rsa_tpu.circuit import Builder, MainGate, RangeChip, checker
+from halo2_rsa_tpu.fields import BN254_FR
+from halo2_rsa_tpu.prover import kzg, plonk
+
+
+def _small_arith_builder(x=3, y=5):
+    b = Builder(BN254_FR)
+    mg = MainGate(b)
+    a = mg.assign_value(x)
+    c = mg.assign_value(y)
+    m = mg.mul(a, c)
+    s = mg.add(m, a)
+    out = mg.mul_add(s, c, m)  # (xy + x) * y + xy
+    b.expose_public(out)
+    return b, (x * y + x) * y + x * y
+
+
+def test_prove_verify_arith():
+    b, out = _small_arith_builder()
+    compiled = checker.compile_circuit(b)
+    srs = kzg.setup(1 << 7, tau=111222333)
+    pk, vk = plonk.keygen(compiled, srs, k=5)
+    proof = plonk.prove(pk, b.values, [out])
+    assert plonk.verify(vk, proof, [out])
+    # wrong public input rejected
+    assert not plonk.verify(vk, proof, [out + 1])
+    # tampered proof rejected
+    bad = bytearray(proof)
+    bad[7] ^= 1
+    assert not plonk.verify(vk, bytes(bad), [out])
+
+
+def test_prove_verify_copy_violation_rejected():
+    """A witness that breaks a copy constraint must not prove."""
+    b, out = _small_arith_builder()
+    compiled = checker.compile_circuit(b)
+    srs = kzg.setup(1 << 7, tau=444555666)
+    pk, vk = plonk.keygen(compiled, srs, k=5)
+    bad_witness = list(b.values)
+    bad_witness[2] = (bad_witness[2] + 1) % BN254_FR.p  # mul output cell
+    proof = plonk.prove(pk, bad_witness, [out])
+    assert not plonk.verify(vk, proof, [out])
+
+
+def test_prove_verify_with_lookups():
+    """Range-checked circuit: lookup argument (LogUp) round trip."""
+    b = Builder(BN254_FR)
+    rc = RangeChip(b)
+    mg = MainGate(b)
+    cell = rc.assign(0xAB, 4, 8)  # two 4-bit sublimbs
+    cell2 = rc.assign(0x3C, 4, 8)
+    s = mg.add(cell, cell2)
+    b.expose_public(s)
+    compiled = checker.compile_circuit(b)
+    assert compiled.lookup_groups  # the circuit really has lookups
+    srs = kzg.setup(1 << 7, tau=777888999)
+    pk, vk = plonk.keygen(compiled, srs, k=5)
+    proof = plonk.prove(pk, b.values, [0xAB + 0x3C])
+    assert plonk.verify(vk, proof, [0xAB + 0x3C])
+
+    # out-of-range witness must not verify: craft witness where a sublimb
+    # escapes the table but the recomposition still holds
+    bad = list(b.values)
+    # sublimb cells for `cell`: find them via the lookup group
+    bits, idx = compiled.lookup_groups[0]
+    i0 = int(idx[0])  # low sublimb of 0xAB (value 0xB)
+    bad[i0] = bad[i0] + (1 << bits)  # escape the table
+    # fix recomposition partner so the add-chain still balances? -- the
+    # recomposition gate will now fail, so the identity check catches it
+    proof_bad = plonk.prove(pk, bad, [0xAB + 0x3C])
+    assert not plonk.verify(vk, proof_bad, [0xAB + 0x3C])
+
+
+def test_prove_verify_bigint_mulmod():
+    """A real gadget: 128-bit mul_mod proved end-to-end."""
+    rng = random.Random(5)
+    bits = 128
+    n_v = 0
+    while n_v.bit_length() != bits:
+        n_v = rng.getrandbits(bits)
+    a_v = rng.getrandbits(bits) % n_v
+    b_v = rng.getrandbits(bits) % n_v
+    b = Builder(BN254_FR)
+    chip = BigIntChip(b, 64, bits)
+    a = chip.assign_integer(a_v)
+    bb = chip.assign_integer(b_v)
+    n = chip.assign_integer(n_v)
+    res = chip.mul_mod(a, bb, n)
+    for limb in res.limbs:
+        b.expose_public(limb)
+    compiled = checker.compile_circuit(b)
+    k = 10
+    srs = kzg.setup(1 << k, tau=13579)
+    pk, vk = plonk.keygen(compiled, srs, k=k)
+    want = (a_v * b_v) % n_v
+    pub = [(want >> (64 * i)) & ((1 << 64) - 1) for i in range(2)]
+    proof = plonk.prove(pk, b.values, pub)
+    assert plonk.verify(vk, proof, pub)
+    assert not plonk.verify(vk, proof, [pub[0] + 1, pub[1]])
