@@ -6,17 +6,19 @@ The capability behind every KZG commitment (halo2's ``commit`` inside
 CPU Pippenger scatters points into buckets — a data-dependent access pattern
 that is hostile to SIMD. The TPU-native formulation used here:
 
-  per window (vmapped over all windows at once):
-    1. extract c-bit digits from the scalar limbs            (elementwise)
-    2. sort points by digit                                   (XLA sort)
-    3. segmented Hillis–Steele scan with the complete EC add  (log2 N steps,
-       every step a full-width vectorized point_add)
-    4. scatter the per-segment totals into the bucket array   (one scatter)
-  then: batched running-sum over buckets (the classic sum-of-suffix-sums
-  trick), and a Horner combine over windows with c doublings per step.
+  1. extract c-bit digits from the scalar limbs for all windows (elementwise)
+  2. per window, sort points by digit (XLA sort)                    [parallel]
+  3. one scan over sorted positions with a running segment
+     accumulator whose batch dimension is the windows — each step is a
+     single vectorized complete point-add on all 32 windows at once;
+     segment boundaries flush bucket totals                     [work-optimal:
+     exactly N point-adds per window, like scalar Pippenger]
+  4. scatter flushed totals into the bucket arrays (one scatter)
+  5. batched running-sum over buckets (sum-of-suffix-sums trick), and a
+     Horner combine over windows with c doublings per step.
 
-Everything is jittable with static N; digits/sort/scan shard naturally over
-points for multi-chip execution (see parallel/).
+Everything is jittable with static N; step 3's scan body is one fused
+point-add kernel, so trace/compile cost is independent of N.
 """
 
 from __future__ import annotations
@@ -34,6 +36,7 @@ from .g1_vec import FQ, identity, point_add, point_double, point_select
 
 WINDOW_BITS = 8
 NUM_WINDOWS = 256 // WINDOW_BITS  # Fr scalars < 2^254
+NUM_BUCKETS = 1 << WINDOW_BITS
 
 
 def digits_from_scalar_limbs(scalars):
@@ -46,43 +49,50 @@ def digits_from_scalar_limbs(scalars):
     return jnp.stack(outs, axis=0).astype(jnp.int32)
 
 
-def _segmented_bucket_sums(digits, points, num_buckets):
-    """One window: per-digit sums of points.
+def _bucket_sums(digits, points):
+    """digits (W, N); points: projective tuple of (N, 16).
 
-    digits (N,) int32 sorted ascending is NOT required on input — sorting
-    happens here. Returns bucket array tuple of (num_buckets, 16) coords.
-    """
-    n = digits.shape[0]
-    order = jnp.argsort(digits)
-    ds = digits[order]
-    p = tuple(c[order] for c in points)
+    Returns bucket sums as a tuple of (W, NUM_BUCKETS, 16) coords."""
+    w, n = digits.shape
+    order = jnp.argsort(digits, axis=1)  # (W, N)
+    ds = jnp.take_along_axis(digits, order, axis=1)
+    p_sorted = tuple(c[order] for c in points)  # (W, N, 16)
 
-    head = jnp.concatenate([jnp.ones((1,), bool), ds[1:] != ds[:-1]])
-    steps = max(1, int(np.ceil(np.log2(max(n, 2)))))
-    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    # scan over sorted positions; batch dim = windows
+    acc0 = identity((w,))
+    d0 = jnp.full((w,), -1, jnp.int32)
 
-    def body(s, carry):
-        p, f = carry
-        stride = jnp.int32(1) << s
-        in_range = pos >= stride
-        # predecessor at distance `stride` (roll handles the wrap; the
-        # wrapped lanes are masked out via `in_range`)
-        prev = tuple(jnp.roll(c, stride, axis=0) for c in p)
-        prev_f = jnp.where(in_range, jnp.roll(f, stride, axis=0), True)
-        combined = point_add(p, prev)
-        take = (~f) & in_range
-        p = point_select(take, combined, p)
-        f = f | prev_f
-        return (p, f)
+    def step(carry, inp):
+        acc, acc_d = carry
+        d_i, p_i = inp  # (W,), (W, 16) coords
+        same = d_i == acc_d
+        combined = point_add(acc, p_i)
+        new_acc = point_select(same, combined, p_i)
+        flush_d = jnp.where(same, NUM_BUCKETS, acc_d)  # NUM_BUCKETS = trash
+        return (new_acc, d_i), (flush_d, acc)
 
-    p, _ = jax.lax.fori_loop(0, steps, body, (p, head))
+    xs = (jnp.moveaxis(ds, 1, 0), tuple(jnp.moveaxis(c, 1, 0) for c in p_sorted))
+    (acc, acc_d), (flush_d, flush_p) = jax.lax.scan(step, (acc0, d0), xs)
+    # append the final accumulator flush
+    flush_d = jnp.concatenate([flush_d, acc_d[None]], axis=0)  # (N+1, W)
+    flush_p = tuple(
+        jnp.concatenate([c, a[None]], axis=0) for c, a in zip(flush_p, acc)
+    )
+    # initial dummy flush had digit -1 -> route to trash slot
+    flush_d = jnp.where(flush_d < 0, NUM_BUCKETS, flush_d)
 
-    end = jnp.concatenate([ds[1:] != ds[:-1], jnp.ones((1,), bool)])
-    # scatter segment totals to their bucket slot; non-ends go to a trash slot
-    idx = jnp.where(end, ds, num_buckets)
-    buckets = identity((num_buckets + 1,))
-    buckets = tuple(b.at[idx].set(c, mode="drop") for b, c in zip(buckets, p))
-    return tuple(b[:num_buckets] for b in buckets)
+    # scatter per window: buckets[w, digit] = point
+    buckets = identity((w, NUM_BUCKETS + 1))
+
+    def scatter_one(bk, fd, fp):
+        return tuple(b.at[fd].set(c, mode="drop") for b, c in zip(bk, fp))
+
+    buckets = jax.vmap(scatter_one, in_axes=(0, 0, 0))(
+        buckets,
+        jnp.moveaxis(flush_d, 0, 1),  # (W, N+1)
+        tuple(jnp.moveaxis(c, 0, 1) for c in flush_p),  # (W, N+1, 16)
+    )
+    return tuple(b[:, :NUM_BUCKETS] for b in buckets)
 
 
 def _bucket_reduce(buckets):
@@ -91,12 +101,10 @@ def _bucket_reduce(buckets):
     Running-sum trick, scanned from the top bucket down; batch dim = windows.
     """
     w = buckets[0].shape[0]
-    nb = buckets[0].shape[1]
     acc = identity((w,))
     total = identity((w,))
-    # scan over buckets b = nb-1 .. 1
-    rev = tuple(c[:, 1:][:, ::-1] for c in buckets)  # (W, nb-1, 16)
-    xs = tuple(jnp.moveaxis(c, 1, 0) for c in rev)  # (nb-1, W, 16)
+    rev = tuple(c[:, 1:][:, ::-1] for c in buckets)  # (W, B-1, 16)
+    xs = tuple(jnp.moveaxis(c, 1, 0) for c in rev)  # (B-1, W, 16)
 
     def step(carry, x):
         acc, total = carry
@@ -110,7 +118,6 @@ def _bucket_reduce(buckets):
 
 def _window_combine(window_sums):
     """(W, 16) coords -> final point: Horner over windows, MSB window first."""
-    w = window_sums[0].shape[0]
     res = identity(())
 
     def step(res, x):
@@ -128,9 +135,7 @@ def msm(scalars, points):
     """scalars (N, 16) uint32 standard-form Fr limbs; points: projective
     tuple of (N, 16) Montgomery Fq coords. Returns one projective point."""
     digits = digits_from_scalar_limbs(scalars)  # (W, N)
-    buckets = jax.vmap(
-        lambda d: _segmented_bucket_sums(d, points, 1 << WINDOW_BITS)
-    )(digits)
+    buckets = _bucket_sums(digits, points)
     sums = _bucket_reduce(buckets)
     return _window_combine(sums)
 

@@ -1,0 +1,111 @@
+"""Persistence for the expensive proving artifacts.
+
+The reference regenerates ParamsKZG / proving keys per process and never
+serializes them (SURVEY.md §5 "Checkpoint/resume: none in-repo"). Here the
+SRS and keys are first-class on-disk artifacts (a behavioral superset): the
+SRS is the expensive multi-second precomputation, and multi-host runs load
+the same artifact on every host.
+
+Format: a plain npz (numpy) container + ints as little-endian byte blobs —
+no pickling of code, stable across versions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from ..prover import g1_vec, kzg
+
+
+def _int_to_bytes(x: int) -> bytes:
+    return x.to_bytes(48, "little")
+
+
+def _int_from_bytes(b) -> int:
+    return int.from_bytes(bytes(b), "little")
+
+
+def save_srs(srs: kzg.SRS, path: str) -> None:
+    g1 = [np.asarray(c) for c in srs.g1_powers]
+    g2t = np.frombuffer(
+        b"".join(_int_to_bytes(v) for pair in srs.g2_tau for v in pair), np.uint8
+    )
+    g2g = np.frombuffer(
+        b"".join(_int_to_bytes(v) for pair in srs.g2_gen for v in pair), np.uint8
+    )
+    np.savez_compressed(
+        path, n=srs.n, g1x=g1[0], g1y=g1[1], g1z=g1[2], g2_tau=g2t, g2_gen=g2g
+    )
+
+
+def load_srs(path: str) -> kzg.SRS:
+    import jax.numpy as jnp
+
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    z = np.load(path)
+
+    def g2_from(b):
+        vals = [_int_from_bytes(b[i * 48 : (i + 1) * 48]) for i in range(4)]
+        return ((vals[0], vals[1]), (vals[2], vals[3]))
+
+    return kzg.SRS(
+        n=int(z["n"]),
+        g1_powers=(jnp.asarray(z["g1x"]), jnp.asarray(z["g1y"]), jnp.asarray(z["g1z"])),
+        g2_gen=g2_from(bytes(z["g2_gen"])),
+        g2_tau=g2_from(bytes(z["g2_tau"])),
+    )
+
+
+def save_vk(vk, path: str) -> None:
+    """VerifyingKey -> JSON (points as decimal strings)."""
+
+    def pt(p):
+        return None if p is None else [str(p[0]), str(p[1])]
+
+    def g2pt(p):
+        return [[str(p[0][0]), str(p[0][1])], [str(p[1][0]), str(p[1][1])]]
+
+    doc = {
+        "k": vk.k,
+        "n": vk.n,
+        "num_wires": vk.num_wires,
+        "lookup_bits": list(vk.lookup_bits),
+        "fixed_commitments": [pt(c) for c in vk.fixed_commitments],
+        "sigma_commitments": [pt(c) for c in vk.sigma_commitments],
+        "table_commitments": [pt(c) for c in vk.table_commitments],
+        "pub_rows": list(vk.pub_rows),
+        "g2_gen": g2pt(vk.srs_g2_gen),
+        "g2_tau": g2pt(vk.srs_g2_tau),
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f)
+
+
+def load_vk(path: str):
+    from ..prover.plonk import VerifyingKey
+
+    with open(path) as f:
+        doc = json.load(f)
+
+    def pt(c):
+        return None if c is None else (int(c[0]), int(c[1]))
+
+    def g2pt(c):
+        return ((int(c[0][0]), int(c[0][1])), (int(c[1][0]), int(c[1][1])))
+
+    return VerifyingKey(
+        k=doc["k"],
+        n=doc["n"],
+        num_wires=doc["num_wires"],
+        lookup_bits=tuple(doc["lookup_bits"]),
+        fixed_commitments=[pt(c) for c in doc["fixed_commitments"]],
+        sigma_commitments=[pt(c) for c in doc["sigma_commitments"]],
+        table_commitments=[pt(c) for c in doc["table_commitments"]],
+        pub_rows=doc["pub_rows"],
+        srs_g2_gen=g2pt(doc["g2_gen"]),
+        srs_g2_tau=g2pt(doc["g2_tau"]),
+    )

@@ -1,0 +1,50 @@
+"""Serialization + profiling subsystem tests."""
+
+import os
+import tempfile
+
+from halo2_rsa_tpu.circuit import Builder, MainGate, checker
+from halo2_rsa_tpu.fields import BN254_FR
+from halo2_rsa_tpu.prover import kzg, plonk
+from halo2_rsa_tpu.utils import Phases, serialization
+
+
+def test_srs_roundtrip(tmp_path):
+    srs = kzg.setup(16, tau=424242)
+    p = str(tmp_path / "srs.npz")
+    serialization.save_srs(srs, p)
+    srs2 = serialization.load_srs(p)
+    assert srs2.n == srs.n
+    assert srs2.g2_tau == srs.g2_tau
+    assert srs2.g1_affine() == srs.g1_affine()
+
+
+def test_vk_roundtrip_and_verify(tmp_path):
+    b = Builder(BN254_FR)
+    mg = MainGate(b)
+    x = mg.assign_value(6)
+    y = mg.assign_value(7)
+    out = mg.mul(x, y)
+    b.expose_public(out)
+    compiled = checker.compile_circuit(b)
+    srs = kzg.setup(1 << 7, tau=5556667)
+    pk, vk = plonk.keygen(compiled, srs, k=5)
+    proof = plonk.prove(pk, b.values, [42])
+
+    p = str(tmp_path / "vk.json")
+    serialization.save_vk(vk, p)
+    vk2 = serialization.load_vk(p)
+    assert plonk.verify(vk2, proof, [42])
+    assert not plonk.verify(vk2, proof, [43])
+
+
+def test_phases():
+    ph = Phases()
+    with ph.phase("msm", points=100):
+        pass
+    with ph.phase("msm"):
+        pass
+    rep = ph.report()
+    assert rep["counts"]["msm"] == 2
+    assert "msm" in rep["phases_s"]
+    assert ph.rate("msm", 100) > 0
