@@ -151,10 +151,10 @@ class BigIntChip:
             a_b = mg.add(a.limb(i), b.limb(i))
             s = mg.add(a_b, carrys[i])
             s_val = self.b.val(s)
-            c = self.range_chip.assign(s_val % limb_max, sub, w)
+            c = self.range_chip.assign(s_val % limb_max, sub, w, source=s)
             # the carry is range-checked to a full limb width, mirroring
             # chip.rs:282 (it is 0/1 in honest traces).
-            carry = self.range_chip.assign(s_val >> w, sub, w)
+            carry = self.range_chip.assign(s_val >> w, sub, w, source=s, source_shift=w)
             c_add_carry = mg.mul_add(carry, limb_max_val, c)
             mg.assert_equal(s, c_add_carry)
             c_vals.append(c)
@@ -213,9 +213,15 @@ class BigIntChip:
         assert a_val >= b_val, "sub_unchecked requires a >= b"
         c_val = a_val - b_val
         sub = sublimb_bit_len(w)
+        big_id = self.b.add_bigop(
+            ("sub", tuple(c.idx for c in a.limbs), tuple(c.idx for c in b.limbs), w)
+        )
         c_limbs = []
-        for _ in range(max_n):
-            c_limbs.append(self.range_chip.assign(c_val & ((1 << w) - 1), sub, w))
+        for j in range(max_n):
+            raw = self.b.new_cell(c_val & ((1 << w) - 1), ("bigsub", big_id, j))
+            c_limbs.append(
+                self.range_chip.assign(self.b.val(raw), sub, w, source=raw)
+            )
             c_val >>= w
         c = AssignedInteger(c_limbs, FRESH)
         added = self.add(b, c)
@@ -308,13 +314,24 @@ class BigIntChip:
 
         sub = sublimb_bit_len(w)
         mask = (1 << w) - 1
+        big_id = self.b.add_bigop(
+            (
+                "divmod",
+                tuple(c.idx for c in a.limbs),
+                tuple(c.idx for c in b.limbs),
+                tuple(c.idx for c in n.limbs),
+                w,
+            )
+        )
         q_limbs = []
         for i in range(n2):
-            q_limbs.append(self.range_chip.assign((q_big >> (w * i)) & mask, sub, w))
+            raw = self.b.new_cell((q_big >> (w * i)) & mask, ("bigq", big_id, i))
+            q_limbs.append(self.range_chip.assign(self.b.val(raw), sub, w, source=raw))
         assert q_big >> (w * n2) == 0
         r_limbs = []
         for i in range(n1):
-            r_limbs.append(self.range_chip.assign((r_big >> (w * i)) & mask, sub, w))
+            raw = self.b.new_cell((r_big >> (w * i)) & mask, ("bigr", big_id, i))
+            r_limbs.append(self.range_chip.assign(self.b.val(raw), sub, w, source=raw))
         quotient_int = AssignedInteger(q_limbs, FRESH)
         prod_int = AssignedInteger(r_limbs, FRESH)
 
@@ -511,8 +528,12 @@ class BigIntChip:
         a_val = self.b.val(a)
         n_val = self.b.val(n)
         q_val, r_val = divmod(a_val, n_val)
-        q = mg.assign_value(q_val)
-        r = mg.assign_value(r_val)
+        # all in-circuit divisors are powers of two (2^limb_width), so the
+        # witness replay provenance is a shift/mask of `a`
+        log2_n = n_val.bit_length() - 1
+        assert n_val == 1 << log2_n, "div_mod divisor must be a power of two"
+        q = mg.assign_value(q_val, prov=("shrmask", a.idx, log2_n, 0))
+        r = mg.assign_value(r_val, prov=("shrmask", a.idx, 0, log2_n))
         # n*q + r - a == 0 : slots s0=n, s1=q, s2=r, s3=a
         self.b.gate([n, q, r, a], (0, 0, 1, -1, 0, 1, 0, 0))
         return q, r

@@ -55,17 +55,38 @@ class Builder:
         self.lookups: list[tuple] = []  # (witness index, bit width)
         self.instance: list[int] = []  # public-input witness indices, in order
         self._const_cache: dict[int, int] = {}
+        # --- witness provenance (for vectorized batched re-generation) ---
+        # One entry per cell describing how its value derives from earlier
+        # cells; None = opaque (replay unsupported for that circuit).
+        # Opcodes: ("in",) ("const",c) ("lin",s0,s1,k0,k1,k2)
+        # ("full",s0,s1,k0,k1,k2,k3) ("mul3",s0,s1,s2) ("sel",c,a,b)
+        # ("inv0",s) ("eqz",s) ("shrmask",s,shift,bits)
+        # ("bigq",id,j) ("bigr",id,j) ("bigsub",id,j)
+        self.prov: list = []
+        # big integer macro-ops evaluated host-side during replay:
+        # ("divmod", a_cells, b_cells|None, n_cells, limb_width) or
+        # ("sub", a_cells, b_cells, limb_width)
+        self.bigops: list[tuple] = []
         # Cell 0 is the constant 0; unused gate slots point at it (with zero
         # coefficient), keeping the trace rectangular.
         self.zero = self.assign_constant(0)
 
     # --- core primitives -------------------------------------------------
 
-    def new_cell(self, value: int) -> Cell:
+    def new_cell(self, value: int, prov=None) -> Cell:
         """Append an (as yet unconstrained) witness value."""
         v = value % self.field.p
         self.values.append(v)
+        self.prov.append(prov)
         return Cell(len(self.values) - 1)
+
+    def add_bigop(self, op: tuple) -> int:
+        self.bigops.append(op)
+        return len(self.bigops) - 1
+
+    def input_cells(self) -> list[int]:
+        """Ordered indices of the cells a batched replay must be fed."""
+        return [i for i, p in enumerate(self.prov) if p is not None and p[0] == "in"]
 
     def val(self, cell: Cell) -> int:
         return self.values[cell.idx]
@@ -94,7 +115,7 @@ class Builder:
         hit = self._const_cache.get(c)
         if hit is not None:
             return Cell(hit)
-        cell = self.new_cell(c)
+        cell = self.new_cell(c, ("const", c))
         # w - c == 0
         self.gate([cell], (1, 0, 0, 0, 0, 0, 0, -c))
         self._const_cache[c] = cell.idx

@@ -32,17 +32,30 @@ class RangeChip:
         self.b = builder
         self.main_gate = MainGate(builder)
 
-    def assign(self, value: int, sublimb_bits: int, bit_len: int) -> Cell:
+    def assign(
+        self,
+        value: int,
+        sublimb_bits: int,
+        bit_len: int,
+        source: Cell | None = None,
+        source_shift: int = 0,
+    ) -> Cell:
         """Witness ``value`` constrained to [0, 2^bit_len).
 
         Decomposes into sublimbs of ``sublimb_bits`` (last one narrower when
         ``bit_len % sublimb_bits != 0`` — the "overflow" lookup), records a
         lookup per sublimb, and recomposes with an accumulation chain whose
         final cell is returned. Mirrors RangeInstructions::assign semantics.
+
+        ``source``/``source_shift``: provenance for batched witness replay —
+        the value equals ``(val(source) >> source_shift) & (2^bit_len - 1)``.
+        Without a source the sublimbs are replay *inputs*.
         """
         assert 0 <= value < (1 << bit_len), (
             f"range assign: value {value} out of [0, 2^{bit_len})"
         )
+        if source is not None:
+            assert (self.b.val(source) >> source_shift) & ((1 << bit_len) - 1) == value
         b = self.b
         widths = []
         remaining = bit_len
@@ -58,15 +71,25 @@ class RangeChip:
             x >>= w
         assert x == 0
         cells = []
+        shift = 0
         for sv, w in zip(sublimbs, widths):
-            c = b.new_cell(sv)
+            prov = (
+                ("shrmask", source.idx, source_shift + shift, w)
+                if source is not None
+                else ("in",)
+            )
+            c = b.new_cell(sv, prov)
             b.lookup(c, w)
             cells.append(c)
+            shift += w
         # recompose: acc_{j+1} = acc_j + 2^shift_j * sublimb_j
         acc = b.zero
         shift = 0
         for c, w in zip(cells, widths):
-            nxt = b.new_cell(b.val(acc) + (b.val(c) << shift))
+            nxt = b.new_cell(
+                b.val(acc) + (b.val(c) << shift),
+                ("lin", acc.idx, c.idx, 0, 1, 1 << shift),
+            )
             b.gate([acc, c, nxt], (1, 1 << shift, -1, 0, 0, 0, 0, 0))
             acc = nxt
             shift += w

@@ -68,7 +68,10 @@ class Sha256Chip:
         b = self.b
         acc = b.zero
         for i, bit in enumerate(bits):
-            nxt = b.new_cell(b.val(acc) + (b.val(bit) << i))
+            nxt = b.new_cell(
+                b.val(acc) + (b.val(bit) << i),
+                ("lin", acc.idx, bit.idx, 0, 1, 1 << i),
+            )
             b.gate([acc, bit, nxt], (1, 1 << i, -1, 0, 0, 0, 0, 0))
             acc = nxt
         return acc
@@ -77,7 +80,10 @@ class Sha256Chip:
         """Witness 32 boolean bits and constrain their composition == cell."""
         v = self.b.val(cell)
         assert v < (1 << 32)
-        bits = tuple(self.mg.assign_bit((v >> i) & 1) for i in range(32))
+        bits = tuple(
+            self.mg.assign_bit((v >> i) & 1, prov=("shrmask", cell.idx, i, 1))
+            for i in range(32)
+        )
         composed = self._compose_bits(bits)
         self.mg.assert_equal(composed, cell)
         return Word(cell, bits)
@@ -85,7 +91,7 @@ class Sha256Chip:
     def _xor(self, x: Cell, y: Cell) -> Cell:
         """Bit XOR in one row: x + y - 2xy - out == 0."""
         b = self.b
-        out = b.new_cell(b.val(x) ^ b.val(y))
+        out = b.new_cell(b.val(x) ^ b.val(y), ("full", x.idx, y.idx, 0, 1, 1, -2))
         b.gate([x, y, out], (1, 1, -1, 0, 0, -2, 0, 0))
         return out
 
@@ -124,8 +130,8 @@ class Sha256Chip:
         b = self.b
         v = b.val(cell)
         q_v, r_v = v >> 32, v & 0xFFFFFFFF
-        q = self.rc.assign(q_v, max_carry_bits, max_carry_bits)
-        r = self.rc.assign(r_v, 8, 32)
+        q = self.rc.assign(q_v, max_carry_bits, max_carry_bits, source=cell, source_shift=32)
+        r = self.rc.assign(r_v, 8, 32, source=cell)
         # q * 2^32 + r - cell == 0
         two32 = self.mg.assign_constant(1 << 32)
         recomposed = self.mg.mul_add(q, two32, r)
@@ -177,7 +183,10 @@ class Sha256Chip:
                 acc = self.b.zero
                 for j, bc in enumerate(cells4):
                     shift = 8 * (3 - j)
-                    nxt = self.b.new_cell(self.b.val(acc) + (self.b.val(bc) << shift))
+                    nxt = self.b.new_cell(
+                        self.b.val(acc) + (self.b.val(bc) << shift),
+                        ("lin", acc.idx, bc.idx, 0, 1, 1 << shift),
+                    )
                     self.b.gate([acc, bc, nxt], (1, 1 << shift, -1, 0, 0, 0, 0, 0))
                     acc = nxt
                 w.append(self._decompose_word(acc))
