@@ -82,43 +82,41 @@ def _pad_last(x, before: int, after: int):
 
 def _carry_prop(t, out_limbs: int):
     """Propagate deferred carries: t (..., k) uint32 limbs (< 2^32 each)
-    -> canonical (..., out_limbs) limbs < 2^16. The true value must fit."""
+    -> canonical (..., out_limbs) limbs < 2^16. The true value must fit.
+
+    Unrolled (not lax.scan) so XLA fuses the whole chain into one
+    elementwise kernel instead of materializing per-step state in HBM."""
     k = t.shape[-1]
     if k < out_limbs:
         t = _pad_last(t, 0, out_limbs - k)
     elif k > out_limbs:
         t = t[..., :out_limbs]
-    xs = jnp.moveaxis(t, -1, 0)  # (out_limbs, ...)
-
-    def step(c, v):
-        v = v + c
-        return v >> LIMB_BITS, v & _MASK
-
-    _, outs = jax.lax.scan(step, jnp.zeros(t.shape[:-1], _U32), xs)
-    return jnp.moveaxis(outs, 0, -1)
+    c = jnp.zeros(t.shape[:-1], _U32)
+    outs = []
+    for i in range(out_limbs):
+        v = t[..., i] + c
+        outs.append(v & _MASK)
+        c = v >> LIMB_BITS
+    return jnp.stack(outs, axis=-1)
 
 
 def _sub_limbs(a, b):
     """(a - b) with borrow chain over canonical limbs.
 
-    Returns (diff_limbs, borrow_out) where borrow_out==1 iff a < b."""
+    Returns (diff_limbs, borrow_out) where borrow_out==1 iff a < b.
+    Unrolled borrow chain (fusible elementwise graph)."""
     batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
     n = max(a.shape[-1], b.shape[-1])
     a = jnp.broadcast_to(a, batch + (n,))
     b = jnp.broadcast_to(b, batch + (n,))
     base = np.uint32(1 << LIMB_BITS)
-
-    def step(borrow, ab):
-        ai, bi = ab
-        v = ai + base - bi - borrow
-        return jnp.uint32(1) - (v >> LIMB_BITS), v & _MASK
-
-    borrow, outs = jax.lax.scan(
-        step,
-        jnp.zeros(batch, _U32),
-        (jnp.moveaxis(a, -1, 0), jnp.moveaxis(b, -1, 0)),
-    )
-    return jnp.moveaxis(outs, 0, -1), borrow
+    borrow = jnp.zeros(batch, _U32)
+    outs = []
+    for i in range(n):
+        v = a[..., i] + base - b[..., i] - borrow
+        outs.append(v & _MASK)
+        borrow = jnp.uint32(1) - (v >> LIMB_BITS)
+    return jnp.stack(outs, axis=-1), borrow
 
 
 def _cond_sub_p(t17, fc: FieldConsts):
@@ -147,27 +145,31 @@ def _sub(fc, a, b):
 
 
 def _mont_mul(fc, a, b):
+    """CIOS Montgomery multiplication, fully unrolled over the 16 steps.
+
+    Each step is a handful of vector ops over the (batch, 17) running state
+    (products vectorized along the limb axis, shifts as pads) — the whole
+    interleaved multiply/reduce is one fusable elementwise graph, no
+    lax.scan state round-tripping through HBM. Deferred-carry bound: each
+    step adds <= 4*(2^16-1) + carry to a limb, 16 steps => limbs stay
+    < 2^23, well inside u32."""
     batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
     b = jnp.broadcast_to(b, batch + (NUM_LIMBS,))
     a = jnp.broadcast_to(a, batch + (NUM_LIMBS,))
-    t0 = jnp.zeros(batch + (NUM_LIMBS + 1,), _U32)
+    t = jnp.zeros(batch + (NUM_LIMBS + 1,), _U32)
     p = fc.p_limbs
     n0inv = fc.n0inv
 
-    def step(t, ai):
-        prod = ai[..., None] * b  # (..., 16) full 32-bit products of 16-bit limbs
-        # accumulate lo into t[0:16] and hi into t[1:17] without scatters
+    for i in range(NUM_LIMBS):
+        prod = a[..., i : i + 1] * b
         t = t + _pad_last(prod & _MASK, 0, 1) + _pad_last(prod >> LIMB_BITS, 1, 0)
-        m = ((t[..., 0] & _MASK) * n0inv) & _MASK
-        prod2 = m[..., None] * p
+        m = ((t[..., :1] & _MASK) * n0inv) & _MASK
+        prod2 = m * p
         t = t + _pad_last(prod2 & _MASK, 0, 1) + _pad_last(prod2 >> LIMB_BITS, 1, 0)
         # shift one limb down; t[0] ≡ 0 mod 2^16, its upper bits carry into
         # the next limb.
-        carry0 = t[..., 0] >> LIMB_BITS
-        t = _pad_last(t[..., 1:], 0, 1) + _pad_last(carry0[..., None], 0, NUM_LIMBS)
-        return t, None
-
-    t, _ = jax.lax.scan(step, t0, jnp.moveaxis(a, -1, 0))
+        carry0 = t[..., :1] >> LIMB_BITS
+        t = _pad_last(t[..., 1:], 0, 1) + _pad_last(carry0, 0, NUM_LIMBS)
     t17 = _carry_prop(t, NUM_LIMBS + 1)
     return _cond_sub_p(t17, fc)
 

@@ -36,63 +36,64 @@ def _mul9(a):
     return _add(FQ, d, a)
 
 
+def _mul_many(lhs, rhs):
+    """Batch k independent Montgomery muls into one stacked call.
+
+    The mul operands are stacked along a new leading axis so the expensive
+    unrolled CIOS graph appears ONCE (on a k-times-larger batch) instead of
+    k times — smaller HLO, fuller vector lanes."""
+    a = jnp.stack(jnp.broadcast_arrays(*lhs), axis=0)
+    b = jnp.stack(jnp.broadcast_arrays(*rhs), axis=0)
+    out = _mont_mul(FQ, a, b)
+    return tuple(out[i] for i in range(len(lhs)))
+
+
 def point_add(p1, p2):
     """Complete projective addition (RCB15 algorithm 7, a=0).
 
-    p = (X, Y, Z) tuple of (..., 16) arrays. ~12 field muls.
+    p = (X, Y, Z) tuple of (..., 16) arrays. 12 field muls, arranged as two
+    6-way batched mul layers (the formula's dependency depth is 2).
     """
     x1, y1, z1 = p1
     x2, y2, z2 = p2
-    t0 = _mont_mul(FQ, x1, x2)
-    t1 = _mont_mul(FQ, y1, y2)
-    t2 = _mont_mul(FQ, z1, z2)
-    t3 = _mont_mul(FQ, _add(FQ, x1, y1), _add(FQ, x2, y2))
-    t4 = _add(FQ, t0, t1)
-    t3 = _sub(FQ, t3, t4)  # X1Y2 + X2Y1
-    t4 = _mont_mul(FQ, _add(FQ, y1, z1), _add(FQ, y2, z2))
-    x3 = _add(FQ, t1, t2)
-    t4 = _sub(FQ, t4, x3)  # Y1Z2 + Y2Z1
-    x3 = _mont_mul(FQ, _add(FQ, x1, z1), _add(FQ, x2, z2))
-    y3 = _add(FQ, t0, t2)
-    y3 = _sub(FQ, x3, y3)  # X1Z2 + X2Z1
-    x3 = _add(FQ, t0, t0)
-    t0 = _add(FQ, x3, t0)  # 3*X1X2
-    t2 = _mul9(t2)  # b3*Z1Z2
-    z3 = _add(FQ, t1, t2)
-    t1 = _sub(FQ, t1, t2)
-    y3 = _mul9(y3)  # b3*(X1Z2 + X2Z1)
-    x3 = _mont_mul(FQ, t4, y3)
-    t2 = _mont_mul(FQ, t3, t1)
-    x3 = _sub(FQ, t2, x3)
-    y3 = _mont_mul(FQ, y3, t0)
-    t1 = _mont_mul(FQ, t1, z3)
-    y3 = _add(FQ, t1, y3)
-    t0 = _mont_mul(FQ, t0, t3)
-    z3 = _mont_mul(FQ, z3, t4)
-    z3 = _add(FQ, z3, t0)
+    # layer 1: all pairwise products are independent
+    t0, t1, t2, t3, t4, t5 = _mul_many(
+        (x1, y1, z1, _add(FQ, x1, y1), _add(FQ, y1, z1), _add(FQ, x1, z1)),
+        (x2, y2, z2, _add(FQ, x2, y2), _add(FQ, y2, z2), _add(FQ, x2, z2)),
+    )
+    t3 = _sub(FQ, t3, _add(FQ, t0, t1))  # X1Y2 + X2Y1
+    t4 = _sub(FQ, t4, _add(FQ, t1, t2))  # Y1Z2 + Y2Z1
+    t5 = _sub(FQ, t5, _add(FQ, t0, t2))  # X1Z2 + X2Z1
+    trip0 = _add(FQ, _add(FQ, t0, t0), t0)  # 3*X1X2
+    b3z = _mul9(t2)  # b3*Z1Z2
+    z3 = _add(FQ, t1, b3z)
+    t1 = _sub(FQ, t1, b3z)
+    y3 = _mul9(t5)  # b3*(X1Z2 + X2Z1)
+    # layer 2: six more independent products
+    m0, m1, m2, m3, m4, m5 = _mul_many(
+        (t4, t3, y3, t1, trip0, z3),
+        (y3, t1, trip0, z3, t3, t4),
+    )
+    x3 = _sub(FQ, m1, m0)
+    y3 = _add(FQ, m3, m2)
+    z3 = _add(FQ, m5, m4)
     return (x3, y3, z3)
 
 
 def point_double(p):
-    """Complete projective doubling (RCB15 algorithm 9, a=0). ~7 muls."""
+    """Complete projective doubling (RCB15 algorithm 9, a=0). 7 muls in
+    three batched layers."""
     x, y, z = p
-    t0 = _mont_mul(FQ, y, y)
+    t0, t1, t2, xy = _mul_many((y, y, z, x), (y, z, z, y))
     z3 = _add(FQ, t0, t0)
     z3 = _add(FQ, z3, z3)
     z3 = _add(FQ, z3, z3)  # 8Y^2
-    t1 = _mont_mul(FQ, y, z)
-    t2 = _mont_mul(FQ, z, z)
     t2 = _mul9(t2)  # b3*Z^2
-    x3 = _mont_mul(FQ, t2, z3)
     y3 = _add(FQ, t0, t2)
-    z3 = _mont_mul(FQ, t1, z3)
-    t1 = _add(FQ, t2, t2)
-    t2 = _add(FQ, t1, t2)
-    t0 = _sub(FQ, t0, t2)
-    y3 = _mont_mul(FQ, t0, y3)
-    y3 = _add(FQ, x3, y3)
-    t1 = _mont_mul(FQ, x, y)
-    x3 = _mont_mul(FQ, t0, t1)
+    t0 = _sub(FQ, t0, _add(FQ, _add(FQ, t2, t2), t2))
+    x3, z3, y3b = _mul_many((t2, t1, t0), (z3, z3, y3))
+    y3 = _add(FQ, x3, y3b)
+    x3, = _mul_many((t0,), (xy,))
     x3 = _add(FQ, x3, x3)
     return (x3, y3, z3)
 

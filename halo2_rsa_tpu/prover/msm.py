@@ -8,17 +8,20 @@ that is hostile to SIMD. The TPU-native formulation used here:
 
   1. extract c-bit digits from the scalar limbs for all windows (elementwise)
   2. per window, sort points by digit (XLA sort)                    [parallel]
-  3. one scan over sorted positions with a running segment
-     accumulator whose batch dimension is the windows — each step is a
-     single vectorized complete point-add on all 32 windows at once;
-     segment boundaries flush bucket totals                     [work-optimal:
-     exactly N point-adds per window, like scalar Pippenger]
-  4. scatter flushed totals into the bucket arrays (one scatter)
-  5. batched running-sum over buckets (sum-of-suffix-sums trick), and a
-     Horner combine over windows with c doublings per step.
+  3. **log-depth segmented inclusive scan** (Hillis–Steele) over the sorted
+     positions with segment id = digit: after ceil(log2 N) rounds, position i
+     holds the sum of its bucket's prefix. Every round is ONE vectorized
+     complete point-add over all W×N lanes — depth log N instead of N, which
+     is what keeps the MXU/VPU busy instead of dispatch-latency-bound.
+  4. the last position of each segment is that bucket's total; one scatter
+     per window routes them into the (W, B) bucket array.
+  5. bucket weighting sum_b b·P_b via suffix sums (log-depth prefix scan on
+     the reversed buckets) + a log-depth tree reduction; Horner combine over
+     windows with c doublings per step (fixed 256-step tail, N-independent).
 
-Everything is jittable with static N; step 3's scan body is one fused
-point-add kernel, so trace/compile cost is independent of N.
+Everything is jittable with static N; the level loops are `fori_loop`s with
+gather-based shifts, so the compiled graph holds a single point-add body per
+loop regardless of N.
 """
 
 from __future__ import annotations
@@ -49,71 +52,143 @@ def digits_from_scalar_limbs(scalars):
     return jnp.stack(outs, axis=0).astype(jnp.int32)
 
 
+def _scatter_buckets(buckets, fd, fp):
+    """Scatter flushed segment totals into the bucket arrays.
+
+    fd (W, M) digit destinations (NUM_BUCKETS = trash); fp point tuple of
+    (W, M, 16). Destinations are unique per window by construction (each
+    bucket's segment completes exactly once across the whole tree)."""
+
+    def scatter_one(bk, d, p):
+        return tuple(b.at[d].set(c, mode="drop") for b, c in zip(bk, p))
+
+    return jax.vmap(scatter_one, in_axes=(0, 0, 0))(buckets, fd, fp)
+
+
 def _bucket_sums(digits, points):
     """digits (W, N); points: projective tuple of (N, 16).
 
-    Returns bucket sums as a tuple of (W, NUM_BUCKETS, 16) coords."""
+    Returns bucket sums as a tuple of (W, NUM_BUCKETS, 16) coords.
+
+    Work-efficient segmented tree-reduce over the digit-sorted points:
+    level l merges 2^l-span nodes pairwise (N/2 + N/4 + ... ≈ N point-adds
+    total, vs N·log N for a Hillis–Steele scan). Each node tracks its open
+    leftmost/rightmost segment sums; a segment becomes interior to a node
+    at exactly one merge, where its total is flushed into the bucket array
+    by a collision-free scatter."""
     w, n = digits.shape
     order = jnp.argsort(digits, axis=1)  # (W, N)
     ds = jnp.take_along_axis(digits, order, axis=1)
     p_sorted = tuple(c[order] for c in points)  # (W, N, 16)
 
-    # scan over sorted positions; batch dim = windows
-    acc0 = identity((w,))
-    d0 = jnp.full((w,), -1, jnp.int32)
-
-    def step(carry, inp):
-        acc, acc_d = carry
-        d_i, p_i = inp  # (W,), (W, 16) coords
-        same = d_i == acc_d
-        combined = point_add(acc, p_i)
-        new_acc = point_select(same, combined, p_i)
-        flush_d = jnp.where(same, NUM_BUCKETS, acc_d)  # NUM_BUCKETS = trash
-        return (new_acc, d_i), (flush_d, acc)
-
-    xs = (jnp.moveaxis(ds, 1, 0), tuple(jnp.moveaxis(c, 1, 0) for c in p_sorted))
-    (acc, acc_d), (flush_d, flush_p) = jax.lax.scan(step, (acc0, d0), xs)
-    # append the final accumulator flush
-    flush_d = jnp.concatenate([flush_d, acc_d[None]], axis=0)  # (N+1, W)
-    flush_p = tuple(
-        jnp.concatenate([c, a[None]], axis=0) for c, a in zip(flush_p, acc)
-    )
-    # initial dummy flush had digit -1 -> route to trash slot
-    flush_d = jnp.where(flush_d < 0, NUM_BUCKETS, flush_d)
-
-    # scatter per window: buckets[w, digit] = point
     buckets = identity((w, NUM_BUCKETS + 1))
+    trash = jnp.int32(NUM_BUCKETS)
 
-    def scatter_one(bk, fd, fp):
-        return tuple(b.at[fd].set(c, mode="drop") for b, c in zip(bk, fp))
+    # pad to a power of two with sentinel-digit identity points (they form
+    # their own segments and flush into the trash slot)
+    m = 1 << max(0, (n - 1).bit_length())
+    if m > n:
+        ds = jnp.concatenate(
+            [ds, jnp.full((w, m - n), NUM_BUCKETS, ds.dtype)], axis=1
+        )
+        ident = identity((w, m - n))
+        p_sorted = tuple(
+            jnp.concatenate([c, ic], axis=1) for c, ic in zip(p_sorted, ident)
+        )
 
-    buckets = jax.vmap(scatter_one, in_axes=(0, 0, 0))(
-        buckets,
-        jnp.moveaxis(flush_d, 0, 1),  # (W, N+1)
-        tuple(jnp.moveaxis(c, 0, 1) for c in flush_p),  # (W, N+1, 16)
-    )
+    # leaf nodes: every element is a single-segment node
+    dl, dr = ds, ds
+    pl = pr = p_sorted
+    single = jnp.ones(ds.shape, bool)
+
+    while dl.shape[1] > 1:
+        a_dl, b_dl = dl[:, 0::2], dl[:, 1::2]
+        a_dr, b_dr = dr[:, 0::2], dr[:, 1::2]
+        a_single, b_single = single[:, 0::2], single[:, 1::2]
+        a_pl = tuple(c[:, 0::2] for c in pl)
+        b_pl = tuple(c[:, 1::2] for c in pl)
+        a_pr = tuple(c[:, 0::2] for c in pr)
+        b_pr = tuple(c[:, 1::2] for c in pr)
+
+        # effective boundary sums (single nodes carry their total in Pl)
+        a_r_eff = point_select(a_single, a_pl, a_pr)
+        b_l_eff = b_pl
+        join = a_dr == b_dl
+        mid = point_add(a_r_eff, b_l_eff)
+
+        # new node state
+        n_dl, n_dr = a_dl, b_dr
+        n_single = a_single & b_single & join
+        n_pl = point_select(a_single & join, mid, a_pl)
+        n_pr = point_select(
+            b_single & join, mid, point_select(b_single, b_pl, b_pr)
+        )
+
+        # flushes (segments that became interior at this merge):
+        #  - !join, !a_single: A's rightmost completes -> (a_dr, a_pr_eff)
+        #  -  join, !a_single, !b_single: merged middle completes -> (a_dr, mid)
+        f1_fire_nojoin = ~join & ~a_single
+        f1_fire_join = join & ~a_single & ~b_single
+        f1_d = jnp.where(f1_fire_nojoin | f1_fire_join, a_dr, trash)
+        f1_p = point_select(join, mid, a_r_eff)
+        #  - !join, !b_single: B's leftmost completes -> (b_dl, b_pl)
+        f2_d = jnp.where(~join & ~b_single, b_dl, trash)
+        buckets = _scatter_buckets(buckets, f1_d, f1_p)
+        buckets = _scatter_buckets(buckets, f2_d, b_pl)
+
+        dl, dr, single, pl, pr = n_dl, n_dr, n_single, n_pl, n_pr
+
+    # root: flush the still-open boundary segments
+    root_pr_eff = point_select(single, pl, pr)
+    buckets = _scatter_buckets(buckets, dl, pl)
+    f_d = jnp.where(single, trash, dr)
+    buckets = _scatter_buckets(buckets, f_d, root_pr_eff)
     return tuple(b[:, :NUM_BUCKETS] for b in buckets)
 
 
 def _bucket_reduce(buckets):
     """(W, B, 16) coords -> per-window sums  sum_b b * bucket_b.
 
-    Running-sum trick, scanned from the top bucket down; batch dim = windows.
+    sum_b b·P_b = sum of suffix sums over b>=1; both the suffix prefix-scan
+    and the final summation run at log depth over (W, B) lanes.
     """
-    w = buckets[0].shape[0]
-    acc = identity((w,))
-    total = identity((w,))
-    rev = tuple(c[:, 1:][:, ::-1] for c in buckets)  # (W, B-1, 16)
-    xs = tuple(jnp.moveaxis(c, 1, 0) for c in rev)  # (B-1, W, 16)
+    w, bcount = buckets[0].shape[:2]
+    rev = tuple(c[:, 1:][:, ::-1] for c in buckets)  # (W, B-1), bucket B-1 first
+    m = bcount - 1
 
-    def step(carry, x):
-        acc, total = carry
-        acc = point_add(acc, x)
-        total = point_add(total, acc)
-        return (acc, total), None
+    # inclusive prefix sum over reversed buckets = suffix sums
+    levels = max(1, (m - 1).bit_length())
+    iota = jnp.arange(m, dtype=jnp.int32)
 
-    (acc, total), _ = jax.lax.scan(step, (acc, total), xs)
-    return total
+    def level(l, acc):
+        d = jnp.int32(1) << l
+        src = jnp.maximum(iota - d, 0)
+        shifted = tuple(jnp.take(c, src, axis=1) for c in acc)
+        combined = point_add(acc, shifted)
+        return point_select((iota >= d)[None, :], combined, acc)
+
+    suffix = jax.lax.fori_loop(0, levels, level, rev)
+
+    # tree-reduce sum over the suffix sums: pad to a power of two with the
+    # identity, then log2 halving rounds (full-width masked adds so the
+    # compiled graph holds a single point-add body)
+    msize = 1 << max(1, (m - 1).bit_length())
+    if msize > m:
+        ident = identity((w, msize - m))
+        suffix = tuple(
+            jnp.concatenate([c, ic], axis=1) for c, ic in zip(suffix, ident)
+        )
+    iota2 = jnp.arange(msize, dtype=jnp.int32)
+
+    def fold(l, acc):
+        half = jnp.int32(msize) >> (l + 1)
+        src = jnp.minimum(iota2 + half, msize - 1)
+        partner = tuple(jnp.take(c, src, axis=1) for c in acc)
+        combined = point_add(acc, partner)
+        return point_select((iota2 < half)[None, :], combined, acc)
+
+    acc = jax.lax.fori_loop(0, msize.bit_length() - 1, fold, suffix)
+    return tuple(c[:, 0] for c in acc)
 
 
 def _window_combine(window_sums):
@@ -121,8 +196,7 @@ def _window_combine(window_sums):
     res = identity(())
 
     def step(res, x):
-        for _ in range(WINDOW_BITS):
-            res = point_double(res)
+        res = jax.lax.fori_loop(0, WINDOW_BITS, lambda _, r: point_double(r), res)
         return point_add(res, x), None
 
     xs = tuple(c[::-1] for c in window_sums)  # top window first
