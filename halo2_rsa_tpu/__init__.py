@@ -19,13 +19,4 @@ Layer map (mirrors SURVEY.md §1, re-architected TPU-first):
   utils/    — profiling, serialization
 """
 
-__version__ = "0.1.0"
-
-# Persistent XLA compilation cache: the prover graphs (MSM, NTT, checker)
-# are expensive to compile (unrolled 16-limb Montgomery arithmetic); cache
-# them across processes for every entry point (tests, bench, driver).
-import jax as _jax
-
-_jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_halo2rsa")
-_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-del _jax
+__version__ = "0.2.0"

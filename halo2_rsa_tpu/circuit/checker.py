@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fields import vecfield
+from ..utils.xjit import fjit
 from ..fields.field import NUM_LIMBS, PrimeField
 from ..fields.vecfield import FieldConsts, _add, _mont_mul, is_zero
 from .builder import Builder
@@ -155,7 +156,7 @@ def eval_lookup(vals_std, bits: int):
     return ok
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
+@functools.partial(fjit, static_argnums=(0, 1))
 def _check_jit(fc, lookup_bits, gate_idx, coef_id, coef_table, w_std, lookup_idx):
     w_mont = vecfield._mont_mul(fc, w_std, jnp.broadcast_to(fc.r2_limbs, w_std.shape))
     coef = coef_table[coef_id]

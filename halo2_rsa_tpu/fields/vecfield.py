@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.xjit import fjit
 from .field import LIMB_BITS, LIMB_MASK, NUM_LIMBS, PrimeField
 from .limbs import int_to_field_limbs
 
@@ -179,41 +180,41 @@ def _mont_mul(fc, a, b):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=0)
+@functools.partial(fjit, static_argnums=0)
 def add(fc: FieldConsts, a, b):
     """(a + b) mod p over (..., 16) canonical limb arrays."""
     return _add(fc, a, b)
 
 
-@functools.partial(jax.jit, static_argnums=0)
+@functools.partial(fjit, static_argnums=0)
 def sub(fc: FieldConsts, a, b):
     """(a - b) mod p."""
     return _sub(fc, a, b)
 
 
-@functools.partial(jax.jit, static_argnums=0)
+@functools.partial(fjit, static_argnums=0)
 def neg(fc: FieldConsts, a):
     z = jnp.zeros_like(a)
     return jnp.where(is_zero(a)[..., None], z, _sub(fc, z, a))
 
 
-@functools.partial(jax.jit, static_argnums=0)
+@functools.partial(fjit, static_argnums=0)
 def mont_mul(fc: FieldConsts, a, b):
     """Montgomery product: (a * b * R^-1) mod p. Inputs/outputs canonical."""
     return _mont_mul(fc, a, b)
 
 
-@functools.partial(jax.jit, static_argnums=0)
+@functools.partial(fjit, static_argnums=0)
 def mont_sqr(fc: FieldConsts, a):
     return _mont_mul(fc, a, a)
 
 
-@functools.partial(jax.jit, static_argnums=0)
+@functools.partial(fjit, static_argnums=0)
 def to_mont(fc: FieldConsts, a):
     return _mont_mul(fc, a, jnp.broadcast_to(fc.r2_limbs, a.shape))
 
 
-@functools.partial(jax.jit, static_argnums=0)
+@functools.partial(fjit, static_argnums=0)
 def from_mont(fc: FieldConsts, a):
     one = jnp.zeros_like(a).at[..., 0].set(1)
     return _mont_mul(fc, a, one)
@@ -251,18 +252,78 @@ def pow_const(fc: FieldConsts, a, e: int):
     return _pow_scan(fc, a, bits)
 
 
-@functools.partial(jax.jit, static_argnums=0)
+@functools.partial(fjit, static_argnums=0)
 def _pow_scan(fc, a, bits):
     return _pow_bits(fc, a, bits)
 
 
-@functools.partial(jax.jit, static_argnums=0)
+@functools.partial(fjit, static_argnums=0)
 def inv(fc: FieldConsts, a):
     """Batched field inverse via Fermat (a^(p-2)); Montgomery domain.
 
     a == 0 maps to 0.
     """
     return _pow_bits(fc, a, fc.p_minus_2_bits)
+
+
+# ---------------------------------------------------------------------------
+# log-depth scans (one arithmetic-op instance in the compiled graph)
+# ---------------------------------------------------------------------------
+
+
+def _hs_scan(op, fill, vals, reverse: bool = False):
+    """Inclusive Hillis-Steele scan along axis 0 of (N, 16) limb arrays.
+
+    ``op(a, b)`` is the combiner; ``fill`` the identity row (16,). One
+    combiner instance inside a fori_loop regardless of N."""
+    n = vals.shape[0]
+    if n <= 1:
+        return vals
+    steps = (n - 1).bit_length()
+    iota = jnp.arange(n, dtype=jnp.int32)
+
+    def body(s, acc):
+        d = jnp.int32(1) << s
+        if reverse:
+            src = jnp.minimum(iota + d, n - 1)
+            live = iota + d <= n - 1
+        else:
+            src = jnp.maximum(iota - d, 0)
+            live = iota >= d
+        shifted = jnp.where(live[:, None], jnp.take(acc, src, axis=0), fill)
+        return op(acc, shifted)
+
+    return jax.lax.fori_loop(0, steps, body, vals)
+
+
+def prefix_mul(fc: FieldConsts, vals_mont):
+    """Inclusive prefix product (Montgomery) along axis 0."""
+    one = jnp.asarray(from_ints_np(fc, [1], mont=True))[0]
+    return _hs_scan(lambda a, b: _mont_mul(fc, a, b), one, vals_mont)
+
+
+def prefix_add(fc: FieldConsts, vals):
+    """Inclusive prefix sum mod p along axis 0."""
+    zero = jnp.zeros((NUM_LIMBS,), _U32)
+    return _hs_scan(lambda a, b: _add(fc, a, b), zero, vals)
+
+
+def suffix_add(fc: FieldConsts, vals):
+    """s_i = sum_{j >= i} vals_j (mod p) along axis 0."""
+    zero = jnp.zeros((NUM_LIMBS,), _U32)
+    return _hs_scan(lambda a, b: _add(fc, a, b), zero, vals, reverse=True)
+
+
+def pow_series(fc: FieldConsts, x_int: int, n: int):
+    """[x^0, x^1, ..., x^{n-1}] as a device (n, 16) Montgomery array.
+
+    Device-side log-depth build (prefix product of x rows) — replaces
+    O(n) host big-int loops in prover hot paths."""
+    x_m = jnp.asarray(from_ints_np(fc, [x_int % fc.field.p], mont=True))
+    rows = jnp.broadcast_to(x_m, (max(n, 1), NUM_LIMBS))
+    one = jnp.asarray(from_ints_np(fc, [1], mont=True))
+    rows = jnp.concatenate([one, rows[1:]], axis=0)
+    return prefix_mul(fc, rows)
 
 
 # ---------------------------------------------------------------------------

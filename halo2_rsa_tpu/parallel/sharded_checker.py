@@ -23,6 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..circuit.checker import CompiledCircuit, eval_gates, eval_lookup
 from ..fields import vecfield
+from ..utils.xjit import fjit
 
 
 def make_mesh(shape=None, axis_names=("data", "rows")) -> Mesh:
@@ -73,7 +74,7 @@ class ShardedChecker:
         lookup_bits = tuple(b for b, _ in self.lookup_groups)
 
         @functools.partial(
-            jax.jit, static_argnums=(0,), out_shardings=NamedSharding(mesh, P("data"))
+            fjit, static_argnums=(0,), out_shardings=NamedSharding(mesh, P("data"))
         )
         def _check(lookup_bits_, gate_idx_, coef_id_, coef_table_, w_std, *lk_idx):
             # w_std: (B, W, 16) standard-form limbs, sharded on data axis

@@ -26,9 +26,17 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..fields import vecfield
+from ..utils.xjit import fjit
 from ..fields.field import BN254_FR
 from ..prover import g1_vec
-from ..prover.msm import NUM_WINDOWS, _bucket_reduce, _bucket_sums, _window_combine, digits_from_scalar_limbs
+from ..prover.msm import (
+    _bucket_reduce,
+    _bucket_sums,
+    _pick_chunk,
+    _window_bits_for,
+    _window_combine,
+    digits_from_scalar_limbs,
+)
 from ..prover.g1_vec import point_add
 
 
@@ -39,8 +47,9 @@ def make_sharded_msm(mesh: Mesh, axis: str = "rows"):
 
     def per_shard(scalars, points):
         # local bucket pipeline on this shard
-        digits = digits_from_scalar_limbs(scalars)
-        buckets = _bucket_sums(digits, points)
+        window_bits = _window_bits_for(scalars.shape[0] * d)
+        digits = digits_from_scalar_limbs(scalars, window_bits)
+        buckets = _bucket_sums(digits, points, 1 << window_bits)
         sums = _bucket_reduce(buckets)  # (W, 16) coords — this shard's windows
         # gather all shards' window sums: (D, W, 16)
         gathered = tuple(
@@ -64,9 +73,9 @@ def make_sharded_msm(mesh: Mesh, axis: str = "rows"):
                 size = half
             acc = merged
         window_sums = tuple(c[0] for c in acc)  # (W, 16)
-        return _window_combine(window_sums)
+        return _window_combine(window_sums, window_bits)
 
-    fn = jax.jit(
+    fn = fjit(
         jax.shard_map(
             per_shard,
             mesh=mesh,

@@ -98,6 +98,12 @@ def point_double(p):
     return (x3, y3, z3)
 
 
+def point_neg(p):
+    """-P = (X, -Y, Z); the identity (0, λ, 0) stays a valid identity rep."""
+    x, y, z = p
+    return (x, _sub(FQ, jnp.zeros_like(y), y), z)
+
+
 def point_select(mask, p_true, p_false):
     """Elementwise select between two point batches; mask (...,) bool."""
     m = mask[..., None]

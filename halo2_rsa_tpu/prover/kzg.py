@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fields import vecfield
+from ..utils.xjit import fjit
 from ..fields.field import BN254_FR
 from ..fields.vecfield import add as _vadd, mont_mul as _vmul
 from . import curve, g1_vec, msm
@@ -61,7 +62,7 @@ def fixed_base_mul_batch(scalars_int: list[int], base=curve.G1_GEN):
         bits.append((sc[:, limb] >> off) & 1)
     bits = jnp.stack(bits, 0).astype(bool)  # (254, N)
 
-    @jax.jit
+    @fjit
     def run(bits, base_dev):
         n = bits.shape[1]
         acc0 = identity((n,))
@@ -103,45 +104,35 @@ def commit(srs: SRS, coeffs):
     return g1_vec.points_from_device(tuple(c[None] for c in res))[0]
 
 
-@functools.partial(jax.jit, static_argnums=())
+@fjit
 def _suffix_sums(c):
-    """s_i = sum_{j >= i} c_j (mod r), via log-step Hillis-Steele."""
-    n = c.shape[0]
-    steps = int(np.ceil(np.log2(max(n, 2))))
-    s = c
-    for k in range(steps):
-        stride = 1 << k
-        if stride >= n:
-            break
-        shifted = jnp.concatenate(
-            [s[stride:], jnp.zeros((stride, 16), jnp.uint32)], axis=0
-        )
-        s = _vadd(FR, s, shifted)
-    return s
+    """s_i = sum_{j >= i} c_j (mod r), log-depth, one add instance."""
+    return vecfield.suffix_add(FR, c)
+
+
+@fjit
+def _quotient_graph(coeffs_mont, zp, zip_):
+    c = _vmul(FR, coeffs_mont, zp)  # a_j z^j (Montgomery)
+    s = vecfield.suffix_add(FR, c)
+    s_next = jnp.concatenate([s[1:], jnp.zeros((1, 16), jnp.uint32)], axis=0)
+    q = _vmul(FR, s_next, zip_)
+    return q, s[0]
 
 
 def quotient_poly(coeffs_mont, z: int):
     """(q_coeffs_mont, p_z): q(X) = (p(X) - p(z)) / (X - z).
 
-    b_i = z^{-(i+1)} * sum_{j > i} a_j z^j — all vectorized.
+    b_i = z^{-(i+1)} * sum_{j > i} a_j z^j — all vectorized; the power
+    series are built on-device at log depth (no O(n) host bigint loops).
     ``coeffs_mont``: (N,16) Montgomery Fr limbs.
     """
     n = coeffs_mont.shape[0]
-    z_pows = [1] * n
-    for i in range(1, n):
-        z_pows[i] = z_pows[i - 1] * z % R
-    zp = jnp.asarray(vecfield.from_ints_np(FR, z_pows, mont=True))
+    zp = vecfield.pow_series(FR, z, n)
     z_inv = pow(z, -1, R)
-    zi_pows = [z_inv] * n  # z^{-(i+1)} for i in 0..n-1
-    for i in range(1, n):
-        zi_pows[i] = zi_pows[i - 1] * z_inv % R
-    zip_ = jnp.asarray(vecfield.from_ints_np(FR, zi_pows, mont=True))
-
-    c = _vmul(FR, coeffs_mont, zp)  # a_j z^j (Montgomery)
-    s = _suffix_sums(c)
-    p_z_mont = s[0]
-    s_next = jnp.concatenate([s[1:], jnp.zeros((1, 16), jnp.uint32)], axis=0)
-    q = _vmul(FR, s_next, zip_)
+    # z^{-(i+1)} = z_inv * z_inv^i
+    zi0 = jnp.asarray(vecfield.from_ints_np(FR, [z_inv], mont=True))
+    zip_ = _vmul(FR, vecfield.pow_series(FR, z_inv, n), jnp.broadcast_to(zi0, (n, 16)))
+    q, p_z_mont = _quotient_graph(coeffs_mont, zp, zip_)
     p_z = vecfield.to_ints(FR, p_z_mont[None], mont=True)[0]
     return q, p_z
 

@@ -8,20 +8,26 @@ that is hostile to SIMD. The TPU-native formulation used here:
 
   1. extract c-bit digits from the scalar limbs for all windows (elementwise)
   2. per window, sort points by digit (XLA sort)                    [parallel]
-  3. **log-depth segmented inclusive scan** (Hillis–Steele) over the sorted
-     positions with segment id = digit: after ceil(log2 N) rounds, position i
-     holds the sum of its bucket's prefix. Every round is ONE vectorized
-     complete point-add over all W×N lanes — depth log N instead of N, which
-     is what keeps the MXU/VPU busy instead of dispatch-latency-bound.
-  4. the last position of each segment is that bucket's total; one scatter
-     per window routes them into the (W, B) bucket array.
-  5. bucket weighting sum_b b·P_b via suffix sums (log-depth prefix scan on
+  3. **chunked inclusive prefix scan** of the sorted points: split the sorted
+     sequence into lanes of C contiguous elements, run a C-step sequential
+     scan across all W x N/C lanes at once (one vectorized point-add per
+     step), then a log-depth scan over the N/C chunk totals, then one
+     offset-add. Work ~2N point-adds (work-optimal), and the whole scan is
+     THREE point-add instances in the compiled graph regardless of N —
+     no unrolled reduction tree, no compile-time blow-up.
+  4. bucket totals by *prefix-sum differencing*: the sum of bucket b's
+     segment is scan[end_b] - scan[end_{b-1}] where end_b comes from one
+     vectorized searchsorted. (EC subtraction = add the Y-negated point.)
+  5. bucket weighting sum_b b*P_b via suffix sums (log-depth prefix scan on
      the reversed buckets) + a log-depth tree reduction; Horner combine over
      windows with c doublings per step (fixed 256-step tail, N-independent).
 
-Everything is jittable with static N; the level loops are `fori_loop`s with
-gather-based shifts, so the compiled graph holds a single point-add body per
-loop regardless of N.
+Every loop is a ``fori_loop``/``scan`` whose body holds a single point-add,
+so the compiled graph size is O(1) in N. Window width scales with N
+(4-bit windows below ~4k points, 8-bit above), and :func:`msm_many`
+commits MANY polynomials against the same base points in one batched
+pipeline — the per-call sequential Horner tail is paid once per batch,
+not once per commitment.
 """
 
 from __future__ import annotations
@@ -34,140 +40,135 @@ import numpy as np
 
 from ..fields import vecfield
 from ..fields.field import NUM_LIMBS
+from ..utils.xjit import fjit
 from . import curve, g1_vec
-from .g1_vec import FQ, identity, point_add, point_double, point_select
+from .g1_vec import identity, point_add, point_double, point_neg, point_select
 
-WINDOW_BITS = 8
-NUM_WINDOWS = 256 // WINDOW_BITS  # Fr scalars < 2^254
-NUM_BUCKETS = 1 << WINDOW_BITS
+SCALAR_BITS = 256  # Fr scalars < 2^254
 
 
-def digits_from_scalar_limbs(scalars):
-    """(N, 16) uint32 standard-form Fr limbs -> (NUM_WINDOWS, N) int32 digits."""
+def _window_bits_for(n: int) -> int:
+    """Pippenger window width: bucket count ~ sqrt-ish of N."""
+    return 4 if n <= 4096 else 8
+
+
+def digits_from_scalar_limbs(scalars, window_bits: int = 8):
+    """(N, 16) uint32 standard-form Fr limbs -> (W, N) int32 digits,
+    W = 256/window_bits, least-significant window first."""
+    per_limb = 16 // window_bits
+    mask = (1 << window_bits) - 1
     outs = []
     for j in range(NUM_LIMBS):
-        limb = scalars[:, j]
-        outs.append(limb & 0xFF)
-        outs.append(limb >> 8)
-    return jnp.stack(outs, axis=0).astype(jnp.int32)
+        limb = scalars[..., j]
+        for t in range(per_limb):
+            outs.append((limb >> (t * window_bits)) & mask)
+    return jnp.stack(outs, axis=-2).astype(jnp.int32)
 
 
-def _scatter_buckets(buckets, fd, fp):
-    """Scatter flushed segment totals into the bucket arrays.
-
-    fd (W, M) digit destinations (NUM_BUCKETS = trash); fp point tuple of
-    (W, M, 16). Destinations are unique per window by construction (each
-    bucket's segment completes exactly once across the whole tree)."""
-
-    def scatter_one(bk, d, p):
-        return tuple(b.at[d].set(c, mode="drop") for b, c in zip(bk, p))
-
-    return jax.vmap(scatter_one, in_axes=(0, 0, 0))(buckets, fd, fp)
+def _pick_chunk(n: int) -> int:
+    """Sequential chunk length C ~ sqrt(N), capped: C steps of depth vs
+    N/C-wide lanes."""
+    c = 1 << max(2, (max(n, 2) - 1).bit_length() // 2)
+    return min(c, 64)
 
 
-def _bucket_sums(digits, points):
-    """digits (W, N); points: projective tuple of (N, 16).
+def _hs_point_scan(ps, axis_len: int):
+    """Inclusive EC prefix scan along axis -2 of (..., L, 16) coord tuples.
 
-    Returns bucket sums as a tuple of (W, NUM_BUCKETS, 16) coords.
+    Hillis-Steele: log2(L) rounds of one full-width point-add."""
+    if axis_len <= 1:
+        return ps
+    steps = (axis_len - 1).bit_length()
+    iota = jnp.arange(axis_len, dtype=jnp.int32)
 
-    Work-efficient segmented tree-reduce over the digit-sorted points:
-    level l merges 2^l-span nodes pairwise (N/2 + N/4 + ... ≈ N point-adds
-    total, vs N·log N for a Hillis–Steele scan). Each node tracks its open
-    leftmost/rightmost segment sums; a segment becomes interior to a node
-    at exactly one merge, where its total is flushed into the bucket array
-    by a collision-free scatter."""
+    def body(s, acc):
+        d = jnp.int32(1) << s
+        src = jnp.maximum(iota - d, 0)
+        shifted = tuple(jnp.take(c, src, axis=-2) for c in acc)
+        comb = point_add(acc, shifted)
+        return point_select(iota >= d, comb, acc)
+
+    return jax.lax.fori_loop(0, steps, body, ps)
+
+
+def _bucket_sums(digits, points, num_buckets: int):
+    """digits (W, N) int32; points: projective tuple of (N, 16).
+
+    Returns bucket sums as a tuple of (W, num_buckets, 16) coords."""
     w, n = digits.shape
     order = jnp.argsort(digits, axis=1)  # (W, N)
     ds = jnp.take_along_axis(digits, order, axis=1)
-    p_sorted = tuple(c[order] for c in points)  # (W, N, 16)
+    ps = tuple(c[order] for c in points)  # (W, N, 16)
 
-    buckets = identity((w, NUM_BUCKETS + 1))
-    trash = jnp.int32(NUM_BUCKETS)
+    c_len = _pick_chunk(n)
+    npad = -(-n // c_len) * c_len
+    if npad > n:
+        pad = npad - n
+        ds = jnp.concatenate([ds, jnp.full((w, pad), num_buckets, ds.dtype)], axis=1)
+        ident = identity((w, pad))
+        ps = tuple(jnp.concatenate([c, ic], axis=1) for c, ic in zip(ps, ident))
+    n_chunks = npad // c_len
+    p3 = tuple(c.reshape(w, n_chunks, c_len, 16) for c in ps)
 
-    # pad to a power of two with sentinel-digit identity points (they form
-    # their own segments and flush into the trash slot)
-    m = 1 << max(0, (n - 1).bit_length())
-    if m > n:
-        ds = jnp.concatenate(
-            [ds, jnp.full((w, m - n), NUM_BUCKETS, ds.dtype)], axis=1
+    # 1) sequential inclusive scan within each length-C chunk (ONE add body)
+    acc0 = identity((w, n_chunks))
+    within0 = identity((w, n_chunks, c_len))
+
+    def seq_body(j, carry):
+        acc, within = carry
+        x = tuple(
+            jax.lax.dynamic_slice_in_dim(c, j, 1, axis=2)[:, :, 0] for c in p3
         )
-        ident = identity((w, m - n))
-        p_sorted = tuple(
-            jnp.concatenate([c, ic], axis=1) for c, ic in zip(p_sorted, ident)
+        acc = point_add(acc, x)
+        within = tuple(
+            jax.lax.dynamic_update_slice_in_dim(o, a[:, :, None], j, axis=2)
+            for o, a in zip(within, acc)
         )
+        return acc, within
 
-    # leaf nodes: every element is a single-segment node
-    dl, dr = ds, ds
-    pl = pr = p_sorted
-    single = jnp.ones(ds.shape, bool)
+    totals, within = jax.lax.fori_loop(0, c_len, seq_body, (acc0, within0))
 
-    while dl.shape[1] > 1:
-        a_dl, b_dl = dl[:, 0::2], dl[:, 1::2]
-        a_dr, b_dr = dr[:, 0::2], dr[:, 1::2]
-        a_single, b_single = single[:, 0::2], single[:, 1::2]
-        a_pl = tuple(c[:, 0::2] for c in pl)
-        b_pl = tuple(c[:, 1::2] for c in pl)
-        a_pr = tuple(c[:, 0::2] for c in pr)
-        b_pr = tuple(c[:, 1::2] for c in pr)
+    # 2) exclusive scan of the chunk totals (log-depth, one add body)
+    incl = _hs_point_scan(totals, n_chunks)
+    ident1 = identity((w, 1))
+    excl = tuple(
+        jnp.concatenate([i1, c[:, :-1]], axis=1) for c, i1 in zip(incl, ident1)
+    )
 
-        # effective boundary sums (single nodes carry their total in Pl)
-        a_r_eff = point_select(a_single, a_pl, a_pr)
-        b_l_eff = b_pl
-        join = a_dr == b_dl
-        mid = point_add(a_r_eff, b_l_eff)
+    # 3) splice: add each chunk's offset to its within-chunk scans (one add)
+    offs = tuple(jnp.broadcast_to(c[:, :, None, :], p.shape) for c, p in zip(excl, p3))
+    full = point_add(within, offs)
+    flat = tuple(c.reshape(w, npad, 16) for c in full)
 
-        # new node state
-        n_dl, n_dr = a_dl, b_dr
-        n_single = a_single & b_single & join
-        n_pl = point_select(a_single & join, mid, a_pl)
-        n_pr = point_select(
-            b_single & join, mid, point_select(b_single, b_pl, b_pr)
-        )
+    # 4) bucket_b = scan[end_b] - scan[end_{b-1}] (difference of prefix sums)
+    targets = jnp.arange(num_buckets, dtype=ds.dtype)
+    ss = jax.vmap(lambda row: jnp.searchsorted(row, targets, side="right"))(ds)
+    ends = ss.astype(jnp.int32) - 1  # (W, B); -1 => empty prefix
+    prev = jnp.concatenate(
+        [jnp.full((w, 1), -1, jnp.int32), ends[:, :-1]], axis=1
+    )
 
-        # flushes (segments that became interior at this merge):
-        #  - !join, !a_single: A's rightmost completes -> (a_dr, a_pr_eff)
-        #  -  join, !a_single, !b_single: merged middle completes -> (a_dr, mid)
-        f1_fire_nojoin = ~join & ~a_single
-        f1_fire_join = join & ~a_single & ~b_single
-        f1_d = jnp.where(f1_fire_nojoin | f1_fire_join, a_dr, trash)
-        f1_p = point_select(join, mid, a_r_eff)
-        #  - !join, !b_single: B's leftmost completes -> (b_dl, b_pl)
-        f2_d = jnp.where(~join & ~b_single, b_dl, trash)
-        buckets = _scatter_buckets(buckets, f1_d, f1_p)
-        buckets = _scatter_buckets(buckets, f2_d, b_pl)
+    def gather_pts(idx):
+        cl = jnp.maximum(idx, 0)
+        pts = tuple(jnp.take_along_axis(c, cl[..., None], axis=1) for c in flat)
+        return point_select(idx >= 0, pts, identity((w, num_buckets)))
 
-        dl, dr, single, pl, pr = n_dl, n_dr, n_single, n_pl, n_pr
-
-    # root: flush the still-open boundary segments
-    root_pr_eff = point_select(single, pl, pr)
-    buckets = _scatter_buckets(buckets, dl, pl)
-    f_d = jnp.where(single, trash, dr)
-    buckets = _scatter_buckets(buckets, f_d, root_pr_eff)
-    return tuple(b[:, :NUM_BUCKETS] for b in buckets)
+    e_pts = gather_pts(ends)
+    p_pts = gather_pts(prev)
+    return point_add(e_pts, point_neg(p_pts))
 
 
 def _bucket_reduce(buckets):
     """(W, B, 16) coords -> per-window sums  sum_b b * bucket_b.
 
-    sum_b b·P_b = sum of suffix sums over b>=1; both the suffix prefix-scan
+    sum_b b*P_b = sum of suffix sums over b>=1; both the suffix prefix-scan
     and the final summation run at log depth over (W, B) lanes.
     """
     w, bcount = buckets[0].shape[:2]
     rev = tuple(c[:, 1:][:, ::-1] for c in buckets)  # (W, B-1), bucket B-1 first
     m = bcount - 1
 
-    # inclusive prefix sum over reversed buckets = suffix sums
-    levels = max(1, (m - 1).bit_length())
-    iota = jnp.arange(m, dtype=jnp.int32)
-
-    def level(l, acc):
-        d = jnp.int32(1) << l
-        src = jnp.maximum(iota - d, 0)
-        shifted = tuple(jnp.take(c, src, axis=1) for c in acc)
-        combined = point_add(acc, shifted)
-        return point_select((iota >= d)[None, :], combined, acc)
-
-    suffix = jax.lax.fori_loop(0, levels, level, rev)
+    suffix = _hs_point_scan(rev, m)
 
     # tree-reduce sum over the suffix sums: pad to a power of two with the
     # identity, then log2 halving rounds (full-width masked adds so the
@@ -191,12 +192,14 @@ def _bucket_reduce(buckets):
     return tuple(c[:, 0] for c in acc)
 
 
-def _window_combine(window_sums):
+def _window_combine(window_sums, window_bits: int):
     """(W, 16) coords -> final point: Horner over windows, MSB window first."""
     res = identity(())
 
     def step(res, x):
-        res = jax.lax.fori_loop(0, WINDOW_BITS, lambda _, r: point_double(r), res)
+        res = jax.lax.fori_loop(
+            0, window_bits, lambda _, r: point_double(r), res
+        )
         return point_add(res, x), None
 
     xs = tuple(c[::-1] for c in window_sums)  # top window first
@@ -204,14 +207,52 @@ def _window_combine(window_sums):
     return res
 
 
-@jax.jit
+@functools.partial(fjit, static_argnums=(2,))
+def _msm_many_jit(scalars, points, window_bits: int):
+    """scalars (P, N, 16); points tuple of (N, 16). Returns (P, 16) coords."""
+    num_buckets = 1 << window_bits
+
+    def one(sc):
+        digits = digits_from_scalar_limbs(sc, window_bits)  # (W, N)
+        buckets = _bucket_sums(digits, points, num_buckets)
+        sums = _bucket_reduce(buckets)
+        return _window_combine(sums, window_bits)
+
+    return jax.vmap(one)(scalars)
+
+
+def msm_many(scalars, points):
+    """Batched MSM: commit P scalar vectors against shared points.
+
+    scalars (P, N, 16) uint32 standard-form Fr limbs; points: projective
+    tuple of (N, 16) Montgomery Fq coords. Returns a projective tuple of
+    (P, 16) coords. N is padded to the next power of two (>= 32) so XLA
+    compiles one graph per size class."""
+    p, n = scalars.shape[:2]
+    npow = max(32, 1 << max(0, (n - 1).bit_length()))
+    if npow > n:
+        pad = npow - n
+        scalars = jnp.concatenate(
+            [scalars, jnp.zeros((p, pad, 16), jnp.uint32)], axis=1
+        )
+        ident = identity((pad,))
+        points = tuple(
+            jnp.concatenate([c, ic], axis=0) for c, ic in zip(points, ident)
+        )
+    return _msm_many_jit(scalars, points, _window_bits_for(npow))
+
+
 def msm(scalars, points):
-    """scalars (N, 16) uint32 standard-form Fr limbs; points: projective
-    tuple of (N, 16) Montgomery Fq coords. Returns one projective point."""
-    digits = digits_from_scalar_limbs(scalars)  # (W, N)
-    buckets = _bucket_sums(digits, points)
-    sums = _bucket_reduce(buckets)
-    return _window_combine(sums)
+    """Single MSM; see :func:`msm_many`. Returns a projective point
+    (scalar-shaped coord tuple)."""
+    res = msm_many(scalars[None], points)
+    return tuple(c[0] for c in res)
+
+
+def msm_many_host(scalars, points):
+    """msm_many + conversion to host affine points (list of P)."""
+    res = msm_many(scalars, points)
+    return g1_vec.points_from_device(res)
 
 
 def msm_host(scalars_int, points_affine):

@@ -4,10 +4,19 @@ The transform behind halo2's polynomial arithmetic (column FFTs / quotient
 computation inside ``create_proof``, /root/reference/benches/bench.rs:319-329).
 BN254 Fr has 2-adicity 28, ample for the reference's k <= 18 circuits.
 
-Formulation: bit-reverse gather, then log2(N) fully-vectorized butterfly
-stages — each stage is one reshape + one batched Montgomery multiply by the
-stage twiddles + add/sub. Static shapes throughout; stage twiddles are
-precomputed per size on the host and cached.
+Formulation: **constant-geometry (Pease) decimation-in-frequency** — every
+one of the log2(N) stages applies the *same* data movement:
+
+    s_i = x_i + x_{i+N/2}
+    d_i = (x_i - x_{i+N/2}) * W^{(i >> t) << t}
+    x'  = interleave(s, d)
+
+so the whole transform is one ``fori_loop`` whose body holds a single
+butterfly (static shapes, one Montgomery-mul instance in the compiled
+graph regardless of N — XLA compile time is O(1) in N). The natural-order
+input comes out bit-reversed and is un-reversed with one final gather.
+Twiddles W^e are assembled on the fly from two sqrt(N)-sized tables
+(W^e = hi[e >> h] * lo[e & (2^h-1)]), keeping the constant footprint tiny.
 """
 
 from __future__ import annotations
@@ -21,6 +30,7 @@ import numpy as np
 from ..fields import vecfield
 from ..fields.field import BN254_FR
 from ..fields.vecfield import _add, _mont_mul, _sub
+from ..utils.xjit import fjit
 
 FR = vecfield.consts(BN254_FR)
 R_MOD = BN254_FR.p
@@ -48,25 +58,24 @@ def root_of_unity(log_n: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _twiddles(log_n: int, inverse: bool):
-    """Per-stage twiddle tables (Montgomery limb arrays, host numpy)."""
-    n = 1 << log_n
+def _twiddle_tables(log_n: int, inverse: bool):
+    """Two-level twiddle tables for exponents < N/2 (host numpy, Montgomery).
+
+    W^e = hi[e >> h] * lo[e & (2^h - 1)], each table ~sqrt(N/2) entries."""
     w = root_of_unity(log_n)
     if inverse:
         w = pow(w, -1, R_MOD)
-    # stage s in 1..log_n has m = 2^s, needs w_m^j for j < m/2 where
-    # w_m = w^(n/m)
-    tables = []
-    for s in range(1, log_n + 1):
-        m = 1 << s
-        wm = pow(w, n // m, R_MOD)
-        cur = 1
-        tw = []
-        for _ in range(m // 2):
-            tw.append(cur)
-            cur = cur * wm % R_MOD
-        tables.append(vecfield.from_ints_np(FR, tw, mont=True))
-    return tuple(tables)
+    ebits = max(log_n - 1, 1)  # exponents < 2^ebits
+    h = (ebits + 1) // 2
+    lo_size = 1 << h
+    hi_size = 1 << (ebits - h)
+    lo = [pow(w, j, R_MOD) for j in range(lo_size)]
+    hi = [pow(w, j << h, R_MOD) for j in range(hi_size)]
+    return (
+        h,
+        vecfield.from_ints_np(FR, lo, mont=True),
+        vecfield.from_ints_np(FR, hi, mont=True),
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -87,30 +96,39 @@ def _n_inv_mont(log_n: int):
 
 def _ntt_graph(a, log_n: int, inverse: bool):
     n = 1 << log_n
+    assert a.shape == (n, 16)
+    if log_n == 0:
+        return a
+    h, lo_tab, hi_tab = _twiddle_tables(log_n, inverse)
+    lo_tab = jnp.asarray(lo_tab)
+    hi_tab = jnp.asarray(hi_tab)
+    half = n // 2
+    iota = jnp.arange(half, dtype=jnp.int32)
+    lo_mask = jnp.int32((1 << h) - 1)
+
+    def stage(t, x):
+        top = x[:half]
+        bot = x[half:]
+        e = (iota >> t) << t
+        tw = _mont_mul(FR, hi_tab[e >> h], lo_tab[e & lo_mask])
+        s = _add(FR, top, bot)
+        d = _mont_mul(FR, _sub(FR, top, bot), tw)
+        return jnp.stack([s, d], axis=1).reshape(n, 16)
+
+    a = jax.lax.fori_loop(0, log_n, stage, a)
     a = a[_bitrev(log_n)]
-    tables = _twiddles(log_n, inverse)
-    for s in range(1, log_n + 1):
-        m = 1 << s
-        tw = tables[s - 1]  # (m/2, 16)
-        blk = a.reshape(n // m, m, 16)
-        even = blk[:, : m // 2]
-        odd = blk[:, m // 2 :]
-        t = _mont_mul(FR, tw[None], odd)
-        a = jnp.concatenate([_add(FR, even, t), _sub(FR, even, t)], axis=1).reshape(
-            n, 16
-        )
     if inverse:
         a = _mont_mul(FR, a, jnp.broadcast_to(jnp.asarray(_n_inv_mont(log_n)), a.shape))
     return a
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
+@functools.partial(fjit, static_argnums=(1,))
 def ntt(a, log_n: int):
     """Forward NTT. ``a`` (N, 16) Montgomery Fr limbs, N = 2^log_n."""
     return _ntt_graph(a, log_n, False)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
+@functools.partial(fjit, static_argnums=(1,))
 def intt(a, log_n: int):
     """Inverse NTT (includes the 1/N scale)."""
     return _ntt_graph(a, log_n, True)

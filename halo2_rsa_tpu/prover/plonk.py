@@ -272,36 +272,13 @@ def coset_interp(evals_mont, log_ext: int, coset: int):
 
 
 def prefix_product(vals_mont):
-    """Inclusive prefix product via log-step scan (Montgomery)."""
-    n = vals_mont.shape[0]
-    steps = int(np.ceil(np.log2(max(n, 2))))
-    p = vals_mont
-    one = jnp.asarray(vecfield.from_ints_np(FR, [1], mont=True))[0]
-    for s in range(steps):
-        stride = 1 << s
-        if stride >= n:
-            break
-        shifted = jnp.concatenate(
-            [jnp.broadcast_to(one, (stride, 16)), p[:-stride]], axis=0
-        )
-        p = _vmul(FR, p, shifted)
-    return p
+    """Inclusive prefix product (log-depth, one mul instance)."""
+    return vecfield.prefix_mul(FR, vals_mont)
 
 
 def prefix_sum(vals_mont):
-    """Inclusive prefix sum via log-step scan (mod r)."""
-    n = vals_mont.shape[0]
-    steps = int(np.ceil(np.log2(max(n, 2))))
-    p = vals_mont
-    for s in range(steps):
-        stride = 1 << s
-        if stride >= n:
-            break
-        shifted = jnp.concatenate(
-            [jnp.zeros((stride, 16), jnp.uint32), p[:-stride]], axis=0
-        )
-        p = _vadd(FR, p, shifted)
-    return p
+    """Inclusive prefix sum mod r (log-depth, one add instance)."""
+    return vecfield.prefix_add(FR, vals_mont)
 
 
 def poly_eval_host(coeffs_ints: list, x: int) -> int:

@@ -1,4 +1,14 @@
 from .profiling import Phases
-from . import serialization
+from .xjit import fjit
 
-__all__ = ["Phases", "serialization"]
+__all__ = ["Phases", "fjit", "serialization"]
+
+
+def __getattr__(name):
+    # serialization imports the prover package, which imports the field
+    # layer; importing it lazily keeps `utils` usable from low layers.
+    if name == "serialization":
+        from . import serialization
+
+        return serialization
+    raise AttributeError(name)

@@ -392,7 +392,9 @@ class WitnessProgram:
 
     @functools.cached_property
     def _run_jit(self):
-        return jax.jit(self._device_program())
+        from ..utils.xjit import fjit
+
+        return fjit(self._device_program())
 
     def generate(self, instances: list[dict]) -> np.ndarray:
         """Generate witnesses for a batch.

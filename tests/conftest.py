@@ -21,8 +21,3 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-
-# Persistent XLA compilation cache: the prover graphs (MSM, NTT, checker) are
-# expensive to compile; cache them across test processes.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_halo2rsa")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
