@@ -24,6 +24,7 @@ this module is the from-scratch TPU-native equivalent.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +36,21 @@ from .limbs import int_to_field_limbs
 
 _U32 = jnp.uint32
 _MASK = np.uint32(LIMB_MASK)
+
+
+@functools.lru_cache(maxsize=1)
+def _rolled() -> bool:
+    """Whether limb loops (CIOS steps, carry/borrow chains) are built as
+    ``lax.fori_loop``/``lax.scan`` bodies instead of Python-unrolled graphs.
+
+    Rolled graphs are ~10-20x smaller, which is what keeps XLA trace+compile
+    time bounded for the prover's many large jitted programs (a fully
+    unrolled point-add alone is ~3.5k HLO ops and the round-1 prover could
+    not compile in 10 minutes). The unrolled form fuses into one elementwise
+    kernel and can be re-enabled per-run with HALO2_RSA_TPU_UNROLL=1 when
+    runtime matters more than compile time (e.g. a long TPU bench sweep).
+    """
+    return os.environ.get("HALO2_RSA_TPU_UNROLL", "0") not in ("1", "true")
 
 
 class FieldConsts:
@@ -85,13 +101,23 @@ def _carry_prop(t, out_limbs: int):
     """Propagate deferred carries: t (..., k) uint32 limbs (< 2^32 each)
     -> canonical (..., out_limbs) limbs < 2^16. The true value must fit.
 
-    Unrolled (not lax.scan) so XLA fuses the whole chain into one
-    elementwise kernel instead of materializing per-step state in HBM."""
+    Rolled (lax.scan over the limb axis) by default for bounded compile
+    time; HALO2_RSA_TPU_UNROLL=1 unrolls into one fusable elementwise
+    chain (see :func:`_rolled`)."""
     k = t.shape[-1]
     if k < out_limbs:
         t = _pad_last(t, 0, out_limbs - k)
     elif k > out_limbs:
         t = t[..., :out_limbs]
+    if _rolled():
+        tT = jnp.moveaxis(t, -1, 0)
+
+        def step(c, v):
+            v = v + c
+            return v >> LIMB_BITS, v & _MASK
+
+        _, outs = jax.lax.scan(step, jnp.zeros(t.shape[:-1], _U32), tT)
+        return jnp.moveaxis(outs, 0, -1)
     c = jnp.zeros(t.shape[:-1], _U32)
     outs = []
     for i in range(out_limbs):
@@ -111,6 +137,19 @@ def _sub_limbs(a, b):
     a = jnp.broadcast_to(a, batch + (n,))
     b = jnp.broadcast_to(b, batch + (n,))
     base = np.uint32(1 << LIMB_BITS)
+    if _rolled():
+
+        def step(borrow, ab):
+            av, bv = ab
+            v = av + base - bv - borrow
+            return jnp.uint32(1) - (v >> LIMB_BITS), v & _MASK
+
+        borrow, outs = jax.lax.scan(
+            step,
+            jnp.zeros(batch, _U32),
+            (jnp.moveaxis(a, -1, 0), jnp.moveaxis(b, -1, 0)),
+        )
+        return jnp.moveaxis(outs, 0, -1), borrow
     borrow = jnp.zeros(batch, _U32)
     outs = []
     for i in range(n):
@@ -146,14 +185,14 @@ def _sub(fc, a, b):
 
 
 def _mont_mul(fc, a, b):
-    """CIOS Montgomery multiplication, fully unrolled over the 16 steps.
+    """CIOS Montgomery multiplication over the 16 limb steps.
 
     Each step is a handful of vector ops over the (batch, 17) running state
-    (products vectorized along the limb axis, shifts as pads) — the whole
-    interleaved multiply/reduce is one fusable elementwise graph, no
-    lax.scan state round-tripping through HBM. Deferred-carry bound: each
-    step adds <= 4*(2^16-1) + carry to a limb, 16 steps => limbs stay
-    < 2^23, well inside u32."""
+    (products vectorized along the limb axis, shifts as pads). Deferred-carry
+    bound: each step adds <= 4*(2^16-1) + carry to a limb, 16 steps => limbs
+    stay < 2^23, well inside u32. The step loop is a ``fori_loop`` by default
+    (bounded compile time); HALO2_RSA_TPU_UNROLL=1 unrolls it into one
+    fusable elementwise graph (see :func:`_rolled`)."""
     batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
     b = jnp.broadcast_to(b, batch + (NUM_LIMBS,))
     a = jnp.broadcast_to(a, batch + (NUM_LIMBS,))
@@ -161,8 +200,8 @@ def _mont_mul(fc, a, b):
     p = fc.p_limbs
     n0inv = fc.n0inv
 
-    for i in range(NUM_LIMBS):
-        prod = a[..., i : i + 1] * b
+    def step(ai, t):
+        prod = ai * b
         t = t + _pad_last(prod & _MASK, 0, 1) + _pad_last(prod >> LIMB_BITS, 1, 0)
         m = ((t[..., :1] & _MASK) * n0inv) & _MASK
         prod2 = m * p
@@ -170,7 +209,20 @@ def _mont_mul(fc, a, b):
         # shift one limb down; t[0] ≡ 0 mod 2^16, its upper bits carry into
         # the next limb.
         carry0 = t[..., :1] >> LIMB_BITS
-        t = _pad_last(t[..., 1:], 0, 1) + _pad_last(carry0, 0, NUM_LIMBS)
+        return _pad_last(t[..., 1:], 0, 1) + _pad_last(carry0, 0, NUM_LIMBS)
+
+    if _rolled():
+        t = jax.lax.fori_loop(
+            0,
+            NUM_LIMBS,
+            lambda i, tt: step(
+                jax.lax.dynamic_slice_in_dim(a, i, 1, axis=a.ndim - 1), tt
+            ),
+            t,
+        )
+    else:
+        for i in range(NUM_LIMBS):
+            t = step(a[..., i : i + 1], t)
     t17 = _carry_prop(t, NUM_LIMBS + 1)
     return _cond_sub_p(t17, fc)
 
@@ -312,6 +364,31 @@ def suffix_add(fc: FieldConsts, vals):
     """s_i = sum_{j >= i} vals_j (mod p) along axis 0."""
     zero = jnp.zeros((NUM_LIMBS,), _U32)
     return _hs_scan(lambda a, b: _add(fc, a, b), zero, vals, reverse=True)
+
+
+def reduce_add(fc: FieldConsts, vals):
+    """Sum along axis 0 of (N, ..., 16) limb arrays, mod p — log-depth
+    halving fold (one add instance in the compiled graph)."""
+    n = vals.shape[0]
+    if n == 1:
+        return vals[0]
+    npow = 1 << (n - 1).bit_length()
+    if npow > n:
+        pad_shape = (npow - n,) + vals.shape[1:]
+        vals = jnp.concatenate([vals, jnp.zeros(pad_shape, _U32)], axis=0)
+    iota = jnp.arange(npow, dtype=jnp.int32)
+
+    def fold(l, acc):
+        half = jnp.int32(npow) >> (l + 1)
+        src = jnp.minimum(iota + half, npow - 1)
+        partner = jnp.take(acc, src, axis=0)
+        merged = _add(fc, acc, partner)
+        keep = iota < half
+        keep = keep.reshape((npow,) + (1,) * (acc.ndim - 1))
+        return jnp.where(keep, merged, acc)
+
+    acc = jax.lax.fori_loop(0, npow.bit_length() - 1, fold, vals)
+    return acc[0]
 
 
 def pow_series(fc: FieldConsts, x_int: int, n: int):

@@ -208,17 +208,13 @@ def _window_combine(window_sums, window_bits: int):
 
 
 @functools.partial(fjit, static_argnums=(2,))
-def _msm_many_jit(scalars, points, window_bits: int):
-    """scalars (P, N, 16); points tuple of (N, 16). Returns (P, 16) coords."""
+def _msm_one_jit(sc, points, window_bits: int):
+    """sc (N, 16); points tuple of (N, 16). Returns a coord tuple of (16,)."""
     num_buckets = 1 << window_bits
-
-    def one(sc):
-        digits = digits_from_scalar_limbs(sc, window_bits)  # (W, N)
-        buckets = _bucket_sums(digits, points, num_buckets)
-        sums = _bucket_reduce(buckets)
-        return _window_combine(sums, window_bits)
-
-    return jax.vmap(one)(scalars)
+    digits = digits_from_scalar_limbs(sc, window_bits)  # (W, N)
+    buckets = _bucket_sums(digits, points, num_buckets)
+    sums = _bucket_reduce(buckets)
+    return _window_combine(sums, window_bits)
 
 
 def msm_many(scalars, points):
@@ -227,7 +223,10 @@ def msm_many(scalars, points):
     scalars (P, N, 16) uint32 standard-form Fr limbs; points: projective
     tuple of (N, 16) Montgomery Fq coords. Returns a projective tuple of
     (P, 16) coords. N is padded to the next power of two (>= 32) so XLA
-    compiles one graph per size class."""
+    compiles one graph per size class; the P axis is a host loop over ONE
+    compiled single-MSM graph (each MSM is already W*N-wide inside, and the
+    prover calls this with P = 1, 5, 7, 13... — shape-keyed per-P compiles
+    at ~20 s each dominated wall time on 2-CPU test hosts)."""
     p, n = scalars.shape[:2]
     npow = max(32, 1 << max(0, (n - 1).bit_length()))
     if npow > n:
@@ -239,7 +238,9 @@ def msm_many(scalars, points):
         points = tuple(
             jnp.concatenate([c, ic], axis=0) for c, ic in zip(points, ident)
         )
-    return _msm_many_jit(scalars, points, _window_bits_for(npow))
+    wb = _window_bits_for(npow)
+    outs = [_msm_one_jit(scalars[i], points, wb) for i in range(p)]
+    return tuple(jnp.stack([o[c] for o in outs]) for c in range(3))
 
 
 def msm(scalars, points):

@@ -134,6 +134,18 @@ def intt(a, log_n: int):
     return _ntt_graph(a, log_n, True)
 
 
+@functools.partial(fjit, static_argnums=(1,))
+def ntt_batch(a, log_n: int):
+    """Forward NTT over a batch: ``a`` (P, N, 16), one shared twiddle plan."""
+    return jax.vmap(lambda x: _ntt_graph(x, log_n, False))(a)
+
+
+@functools.partial(fjit, static_argnums=(1,))
+def intt_batch(a, log_n: int):
+    """Inverse NTT over a batch: ``a`` (P, N, 16)."""
+    return jax.vmap(lambda x: _ntt_graph(x, log_n, True))(a)
+
+
 # --- host helpers -----------------------------------------------------------
 
 

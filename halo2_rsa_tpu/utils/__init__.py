@@ -8,7 +8,7 @@ def __getattr__(name):
     # serialization imports the prover package, which imports the field
     # layer; importing it lazily keeps `utils` usable from low layers.
     if name == "serialization":
-        from . import serialization
+        import importlib
 
-        return serialization
+        return importlib.import_module(".serialization", __name__)
     raise AttributeError(name)
