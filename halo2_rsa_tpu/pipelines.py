@@ -78,6 +78,21 @@ class Pkcs1v15Circuit:
                 pubs = _n_limbs(n, bits) + _n_limbs(hashed_msg, 256)
         return cls(builder=b, public_inputs=pubs, bits=bits)
 
+    @classmethod
+    def without_witness(
+        cls, bits: int, msg_len: int | None = None, expose_public: bool = True
+    ) -> "Pkcs1v15Circuit":
+        """Witness-free instance for keygen — same trace shape as any real
+        instance of the same (bits, msg_len) config, built from dummy values
+        (the ``Circuit::default()``/``without_witness`` keygen pattern,
+        /root/reference/benches/bench.rs:228-239, src/lib.rs:63-70)."""
+        dummy_pk = RSAPublicKey.without_witness(bits)
+        if msg_len is not None:
+            return cls.build(
+                bits, dummy_pk.n, 0, msg=b"\x00" * msg_len, expose_public=expose_public
+            )
+        return cls.build(bits, dummy_pk.n, 0, hashed_msg=0, expose_public=expose_public)
+
     def check(self) -> dict:
         """MockProver-analog constraint check."""
         return checker.run(self.builder, self.public_inputs)
@@ -90,7 +105,7 @@ def _n_limbs(x: int, bits: int) -> list:
     return [(x >> (LIMB_WIDTH * i)) & ((1 << LIMB_WIDTH) - 1) for i in range(bits // LIMB_WIDTH)]
 
 
-def sign_fixture(bits: int, msg: bytes, seed: int | None = None):
+def sign_fixture(bits: int, msg: bytes):
     """Real RSA keypair + pkcs1v15/SHA-256 signature (test-vector oracle,
     the python-cryptography analog of the reference's use of the rsa crate)."""
     from cryptography.hazmat.primitives import hashes

@@ -42,12 +42,27 @@ class RSAPublicKey:
     n: int
     e: RSAPubE
 
+    @classmethod
+    def without_witness(cls, bits_len: int, e: "RSAPubE | None" = None) -> "RSAPublicKey":
+        """Witness-free shape for keygen (lib.rs:63-70 ``without_witness``).
+
+        The dummy modulus 2^bits_len − 1 has the full bit length (so every
+        limb-count decision matches a real key) and is odd/nonzero (so the
+        host-side divmod witnessing in synthesis stays total). Keygen reads
+        only the trace *structure*, never these values."""
+        return cls(n=(1 << bits_len) - 1, e=e if e is not None else RSAPubE.fix())
+
 
 @dataclasses.dataclass(frozen=True)
 class RSASignature:
     """A pkcs1v15 signature integer c about to be assigned (lib.rs:98-121)."""
 
     c: int
+
+    @classmethod
+    def without_witness(cls) -> "RSASignature":
+        """Witness-free shape for keygen (lib.rs:114-120)."""
+        return cls(c=0)
 
 
 @dataclasses.dataclass

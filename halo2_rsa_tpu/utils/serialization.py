@@ -60,8 +60,8 @@ def load_srs(path: str) -> kzg.SRS:
     )
 
 
-def save_vk(vk, path: str) -> None:
-    """VerifyingKey -> JSON (points as decimal strings)."""
+def _vk_doc(vk) -> dict:
+    """VerifyingKey -> JSON-able dict (points as decimal strings)."""
 
     def pt(p):
         return None if p is None else [str(p[0]), str(p[1])]
@@ -69,7 +69,7 @@ def save_vk(vk, path: str) -> None:
     def g2pt(p):
         return [[str(p[0][0]), str(p[0][1])], [str(p[1][0]), str(p[1][1])]]
 
-    doc = {
+    return {
         "k": vk.k,
         "n": vk.n,
         "num_wires": vk.num_wires,
@@ -81,15 +81,10 @@ def save_vk(vk, path: str) -> None:
         "g2_gen": g2pt(vk.srs_g2_gen),
         "g2_tau": g2pt(vk.srs_g2_tau),
     }
-    with open(path, "w") as f:
-        json.dump(doc, f)
 
 
-def load_vk(path: str):
+def _vk_from_doc(doc: dict):
     from ..prover.plonk import VerifyingKey
-
-    with open(path) as f:
-        doc = json.load(f)
 
     def pt(c):
         return None if c is None else (int(c[0]), int(c[1]))
@@ -109,3 +104,81 @@ def load_vk(path: str):
         srs_g2_gen=g2pt(doc["g2_gen"]),
         srs_g2_tau=g2pt(doc["g2_tau"]),
     )
+
+
+def save_vk(vk, path: str) -> None:
+    """VerifyingKey -> JSON (points as decimal strings)."""
+    with open(path, "w") as f:
+        json.dump(_vk_doc(vk), f)
+
+
+def save_pk(pk, path: str) -> None:
+    """ProvingKey -> npz. The SRS is NOT embedded (it is its own artifact,
+    shared across circuits — pass it to :func:`load_pk`). Matches the
+    reference's params/pk/vk persistence boundary (bench.rs:228-239)."""
+    arrays = {
+        "wire_source": np.asarray(pk.wire_source),
+        "id_vals": np.asarray(pk.id_vals),
+        "sigma_vals": np.asarray(pk.sigma_vals),
+        "fixed_polys": np.asarray(pk.fixed_polys),
+        "sigma_polys": np.asarray(pk.sigma_polys),
+        "fixed_ext": np.asarray(pk.fixed_ext),
+        "sigma_ext": np.asarray(pk.sigma_ext),
+        "l0_ext": np.asarray(pk.l0_ext),
+        "x_ext": np.asarray(pk.x_ext),
+        "van_inv": np.asarray(pk.van_inv),
+    }
+    if pk.table_vals is not None:
+        arrays["table_vals"] = np.asarray(pk.table_vals)
+        arrays["table_polys"] = np.asarray(pk.table_polys)
+        arrays["table_ext"] = np.asarray(pk.table_ext)
+    meta = {
+        "log_ext": pk.log_ext,
+        "k_cosets": [str(c) for c in pk.k_cosets],
+        "g1_tail": [[str(p[0]), str(p[1])] if p is not None else None for p in pk.g1_tail],
+        "vk": _vk_doc(pk.vk),
+    }
+    np.savez_compressed(
+        path, meta=np.frombuffer(json.dumps(meta).encode(), np.uint8), **arrays
+    )
+
+
+def load_pk(path: str, srs: kzg.SRS):
+    import jax.numpy as jnp
+
+    from ..prover.plonk import ProvingKey
+
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    z = np.load(path)
+    meta = json.loads(bytes(z["meta"]).decode())
+    has_tables = "table_vals" in z.files
+    vk = _vk_from_doc(meta["vk"])
+    return ProvingKey(
+        vk=vk,
+        srs=srs,
+        wire_source=z["wire_source"],
+        k_cosets=[int(c) for c in meta["k_cosets"]],
+        log_ext=int(meta["log_ext"]),
+        id_vals=jnp.asarray(z["id_vals"]),
+        sigma_vals=jnp.asarray(z["sigma_vals"]),
+        table_vals=jnp.asarray(z["table_vals"]) if has_tables else None,
+        fixed_polys=jnp.asarray(z["fixed_polys"]),
+        sigma_polys=jnp.asarray(z["sigma_polys"]),
+        table_polys=jnp.asarray(z["table_polys"]) if has_tables else None,
+        fixed_ext=jnp.asarray(z["fixed_ext"]),
+        sigma_ext=jnp.asarray(z["sigma_ext"]),
+        table_ext=jnp.asarray(z["table_ext"]) if has_tables else None,
+        l0_ext=jnp.asarray(z["l0_ext"]),
+        x_ext=jnp.asarray(z["x_ext"]),
+        van_inv=jnp.asarray(z["van_inv"]),
+        g1_tail=[
+            (int(p[0]), int(p[1])) if p is not None else None
+            for p in meta["g1_tail"]
+        ],
+    )
+
+
+def load_vk(path: str):
+    with open(path) as f:
+        return _vk_from_doc(json.load(f))

@@ -37,6 +37,22 @@ def test_prove_verify_arith():
     assert not plonk.verify(vk, bytes(bad), [out])
 
 
+def test_zero_knowledge_blinding():
+    """Two proofs of the same statement with different randomness both
+    verify and differ byte-wise; same randomness reproduces the same proof
+    (the hiding property halo2's create_proof provides, bench.rs:319-329)."""
+    b, out = _small_arith_builder()
+    compiled = checker.compile_circuit(b)
+    srs = kzg.setup(1 << 7, tau=101010)
+    pk, vk = plonk.keygen(compiled, srs, k=5)
+    p1 = plonk.prove(pk, b.values, [out], rng=random.Random(1))
+    p2 = plonk.prove(pk, b.values, [out], rng=random.Random(2))
+    p1_again = plonk.prove(pk, b.values, [out], rng=random.Random(1))
+    assert plonk.verify(vk, p1, [out]) and plonk.verify(vk, p2, [out])
+    assert p1 != p2, "proofs of the same statement must be blinded"
+    assert p1 == p1_again, "blinding must be driven only by the rng"
+
+
 def test_prove_verify_copy_violation_rejected():
     """A witness that breaks a copy constraint must not prove."""
     b, out = _small_arith_builder()
@@ -97,7 +113,7 @@ def test_prove_verify_bigint_mulmod():
         b.expose_public(limb)
     compiled = checker.compile_circuit(b)
     k = 10
-    srs = kzg.setup(1 << k, tau=13579)
+    srs = kzg.setup((1 << k) + 8, tau=13579)
     pk, vk = plonk.keygen(compiled, srs, k=k)
     want = (a_v * b_v) % n_v
     pub = [(want >> (64 * i)) & ((1 << 64) - 1) for i in range(2)]
