@@ -147,7 +147,7 @@ def eval_lookup(vals_std, bits: int):
     """vals_std (K,16) standard-form canonical limbs -> (K,) bool: v < 2^bits."""
     q, rem = divmod(bits, 16)
     ok = jnp.ones(vals_std.shape[:-1], dtype=bool)
-    lo = q if rem else q  # first limb index that must be zero when rem == 0
+    lo = q  # first limb index that must be all-zero
     if rem:
         ok = ok & (vals_std[..., q] < (1 << rem))
         lo = q + 1

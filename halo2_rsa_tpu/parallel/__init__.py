@@ -1,6 +1,7 @@
-from .sharded_checker import ShardedChecker, make_mesh
+from .sharded_checker import ShardedChecker, WireShardedChecker, make_mesh
 
-__all__ = ["ShardedChecker", "make_mesh"]
+__all__ = ["ShardedChecker", "WireShardedChecker", "make_mesh"]
 from .sharded_msm import make_sharded_msm  # noqa: E402
+from .sharded_ntt import intt_sharded, ntt_sharded  # noqa: E402
 
-__all__.append("make_sharded_msm")
+__all__ += ["make_sharded_msm", "ntt_sharded", "intt_sharded"]

@@ -111,3 +111,112 @@ class ShardedChecker:
             *[idx for _, idx in self.lookup_groups],
         )
         return np.asarray(viol)
+
+
+class WireShardedChecker:
+    """Constraint checking with witness memory scaling 1/D along ``rows``.
+
+    :class:`ShardedChecker` replicates the witness along the rows axis
+    because gate rows gather cells arbitrarily. Here the gather is done
+    ONCE per witness at load time ("routing"): each gate row's 5 operand
+    cells become a wire-column tensor (B, R, 5, 16) and each lookup entry a
+    value tensor, both sharded over (data, rows) — the layout halo2's
+    advice columns (and our plonk ``wire_source``) use. Device evaluation
+    is then fully local per row block; only the violation-count reduction
+    crosses devices (one psum over ICI). No array is replicated along
+    ``rows``, so the 2^k-row flagship × batch can span hosts
+    (SURVEY.md §2.3; VERDICT r2 missing #4).
+    """
+
+    def __init__(self, compiled: CompiledCircuit, mesh: Mesh):
+        self.compiled = compiled
+        self.mesh = mesh
+        self.fc = compiled.fc
+        d_rows = mesh.shape["rows"]
+        R = compiled.num_gates
+        pad_r = -R % d_rows
+        self.gate_idx_np = np.concatenate(
+            [compiled.gate_idx, np.zeros((pad_r, 5), np.int32)], axis=0
+        )
+        zero_cid = compiled.coef_table.shape[0]
+        coef_table = np.concatenate(
+            [compiled.coef_table, np.zeros((1, 8, 16), np.uint32)], axis=0
+        )
+        coef_id = np.concatenate(
+            [compiled.gate_coef_id, np.full((pad_r,), zero_cid, np.int32)]
+        )
+        rows = NamedSharding(mesh, P(None, "rows"))
+        repl = NamedSharding(mesh, P())
+        self.coef_id = jax.device_put(coef_id[None], rows)[0]
+        self.coef_table = jax.device_put(coef_table, repl)
+        self.lookup_np = []
+        for bits, idx in compiled.lookup_groups:
+            pad_l = -idx.shape[0] % d_rows
+            self.lookup_np.append(
+                (bits, np.concatenate([idx, np.zeros((pad_l,), np.int32)]))
+            )
+        self.wire_sharding = NamedSharding(mesh, P("data", "rows", None, None))
+        self.lk_sharding = NamedSharding(mesh, P("data", "rows", None))
+        lookup_bits = tuple(b for b, _ in self.lookup_np)
+
+        @functools.partial(
+            fjit, static_argnums=(0,), out_shardings=NamedSharding(mesh, P("data"))
+        )
+        def _check(lookup_bits_, coef_id_, coef_table_, wires, *lk_vals):
+            # wires: (B, Rp, 5, 16) std limbs sharded (data, rows)
+            fc = self.fc
+            w_mont = vecfield._mont_mul(
+                fc, wires, jnp.broadcast_to(fc.r2_limbs, wires.shape)
+            )
+            coef = coef_table_[coef_id_]  # (Rp, 8, 16)
+
+            def one(wm, lkv):
+                acc = jnp.broadcast_to(coef[:, 7], wm.shape[:1] + (16,))
+                for k in range(5):
+                    acc = vecfield._add(
+                        fc, acc, vecfield._mont_mul(fc, coef[:, k], wm[:, k])
+                    )
+                acc = vecfield._add(
+                    fc,
+                    acc,
+                    vecfield._mont_mul(
+                        fc, coef[:, 5], vecfield._mont_mul(fc, wm[:, 0], wm[:, 1])
+                    ),
+                )
+                acc = vecfield._add(
+                    fc,
+                    acc,
+                    vecfield._mont_mul(
+                        fc, coef[:, 6], vecfield._mont_mul(fc, wm[:, 2], wm[:, 3])
+                    ),
+                )
+                viol = jnp.sum(~vecfield.is_zero(acc)).astype(jnp.int32)
+                from ..circuit.checker import eval_lookup
+
+                for bits, vals in zip(lookup_bits_, lkv):
+                    viol = viol + jnp.sum(~eval_lookup(vals, bits)).astype(jnp.int32)
+                return viol
+
+            return jax.vmap(one)(w_mont, list(lk_vals))
+
+        self._check = _check
+        self._lookup_bits = lookup_bits
+
+    def route(self, w_std_batch: np.ndarray):
+        """(B, W, 16) host witness -> (wires, lk_vals) device tensors,
+        sharded (data, rows); the one-time gather replacing replication."""
+        wires = jax.device_put(
+            w_std_batch[:, self.gate_idx_np], self.wire_sharding
+        )
+        lk_vals = tuple(
+            jax.device_put(w_std_batch[:, idx], self.lk_sharding)
+            for _, idx in self.lookup_np
+        )
+        return wires, lk_vals
+
+    def check(self, routed) -> np.ndarray:
+        """Per-instance violation counts (B,) from :meth:`route` output."""
+        wires, lk_vals = routed
+        viol = self._check(self._lookup_bits, self.coef_id, self.coef_table,
+                           wires, *lk_vals)
+        return np.asarray(viol)

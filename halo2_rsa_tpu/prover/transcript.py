@@ -15,9 +15,10 @@ from __future__ import annotations
 
 import hashlib
 
-from ..fields.field import BN254_FR
+from ..fields.field import BN254_FR, BN254_FQ
 
 R = BN254_FR.p
+Q = BN254_FQ.p
 
 _PERSONAL = b"halo2rsa-tpu-fs1"
 
@@ -82,12 +83,25 @@ class TranscriptReader:
         return s
 
     def read_point(self):
+        """Deserialize a G1 point, REJECTING off-curve coordinates.
+
+        The capability of halo2 ``Blake2bRead``'s compressed-point
+        decompression (/root/reference/benches/bench.rs:334-343): an
+        adversarial proof must not be able to inject arbitrary (x, y) into
+        the pairing check. BN254 G1 has cofactor 1, so curve membership is
+        the full subgroup check."""
+        from .curve import g1_is_on_curve
+
         b = self._buf[self._pos : self._pos + 64]
         self._pos += 64
         if b == bytes(64):
             p = None
         else:
-            p = (int.from_bytes(b[:32], "little"), int.from_bytes(b[32:], "little"))
+            x = int.from_bytes(b[:32], "little")
+            y = int.from_bytes(b[32:], "little")
+            assert x < Q and y < Q, "transcript point coordinate out of range"
+            p = (x, y)
+            assert g1_is_on_curve(p), "transcript point not on curve"
         self._t.common_point(p)
         return p
 

@@ -26,9 +26,17 @@ class RSASignatureVerifier:
         public_key: AssignedRSAPublicKey,
         msg: bytes,
         signature: AssignedRSASignature,
+        max_len: int | None = None,
     ) -> tuple[Cell, list[Cell]]:
+        """Hash-then-verify. With ``max_len`` set, the SHA-256 stage runs in
+        dynamic-length mode: ONE circuit shape (hence one vk) verifies any
+        message of length <= max_len — parity with the reference's
+        ``Sha256Chip::configure(max_input_size)`` usage (lib.rs:308-320)."""
         # 1. SHA-256 of the message in-circuit (lib.rs:203-212)
-        _, hashed_bytes, _ = self.sha256_chip.digest(msg)
+        if max_len is None:
+            _, hashed_bytes, _ = self.sha256_chip.digest(msg)
+        else:
+            _, hashed_bytes, _, _ = self.sha256_chip.digest_dynamic(msg, max_len)
         hashed_le = list(reversed(hashed_bytes))  # big-endian -> little-endian
 
         # 2. pack 8 bytes -> one 64-bit limb (lib.rs:225-239)

@@ -7,9 +7,13 @@ decompose_digest_to_bytes}`` at /root/reference/src/lib.rs:203-212).
 Realization is bit-sliced over the trace builder's main gate: 32-bit words
 are carried both as a composed field cell and as 32 boolean cells; XOR/CH/MAJ
 are one-or-two-row bit gates; rotations are free re-indexing; mod-2^32
-additions use a witnessed carry with a range-checked quotient. The circuit
-shape is fixed by the message byte length at synthesis time (the trace is
-per-shape, like every circuit here); padding bytes are circuit constants.
+additions use a witnessed carry with a range-checked quotient.
+
+Two entry points: :meth:`Sha256Chip.digest` fixes the circuit shape per
+message length (padding as circuit constants — cheapest when one length is
+proved repeatedly), while :meth:`Sha256Chip.digest_dynamic` emits ONE shape
+for every length <= max_len (witnessed padding + in-circuit length
+constraints), matching ``halo2-dynamic-sha256``'s single-vk capability.
 
 The full compression function is checked in-circuit — message bytes are
 8-bit-lookup-checked witnesses, so a verifier of the trace verifies the hash.
@@ -152,6 +156,205 @@ class Sha256Chip:
         """Witness the message bytes, each 8-bit lookup-checked."""
         return [self.rc.assign(byte, 8, 8) for byte in msg]
 
+    # --- dynamic-length mode ---------------------------------------------
+
+    @staticmethod
+    def num_blocks(max_len: int) -> int:
+        """SHA-256 blocks needed for any message of length <= max_len."""
+        return (max_len + 8) // 64 + 1
+
+    def digest_dynamic(self, msg: bytes, max_len: int):
+        """Hash ``msg`` under ONE circuit shape for every length <= max_len.
+
+        Capability parity with ``halo2-dynamic-sha256``'s
+        ``Sha256Chip::configure(max_input_size)`` — the reference verifies
+        any message up to a configured max under a single vk
+        (/root/reference/src/lib.rs:144-146, 308-320). The trace emitted
+        here depends only on ``max_len``; the message enters purely through
+        witness values, so one keygen serves all lengths.
+
+        In-circuit dynamic machinery (all constraints, no trust in the
+        prover):
+
+        * every byte of the padded buffer (``PB = 64·num_blocks`` bytes) is
+          a witnessed, 8-bit-lookup-checked cell;
+        * a *monotone boolean mask* (mask_i = [i < len]): each bit boolean,
+          differences boolean (so the mask is a prefix of ones), and
+          Σ mask_i == len — this pins the mask exactly;
+        * the byte AT position len must be 0x80 (one gate per byte:
+          (m_i − 0x80)·p_i == 0 with p_i the mask step indicator);
+        * a one-hot *block selector* s_b for the final block, tied to len by
+          the 6-bit range check len + 8 − 64·Σ b·s_b ∈ [0, 64);
+        * every byte after the 0x80 that is not in the selected block's
+          64-bit length field must be 0;
+        * the selected block's length field must compose (big-endian) to
+          8·len;
+        * the compression runs over ALL blocks; the returned digest is the
+          s-selected h-state.
+
+        Returns (digest_words, digest_bytes, msg_cells, len_cell) where
+        ``msg_cells`` are the first max_len padded-byte cells (the message
+        region) and ``len_cell`` the witnessed byte length.
+        """
+        assert len(msg) <= max_len, f"message longer than max_len={max_len}"
+        mg, b = self.mg, self.b
+        nblocks = self.num_blocks(max_len)
+        pb = 64 * nblocks
+        mlen = len(msg)
+        nb_used = (mlen + 8) // 64 + 1  # blocks actually covering msg+pad
+
+        # host-side padded buffer (values only; ALL constrained below)
+        padded = bytearray(pb)
+        padded[:mlen] = msg
+        padded[mlen] = 0x80
+        lf = 64 * nb_used - 8
+        padded[lf : lf + 8] = (8 * mlen).to_bytes(8, "big")
+
+        # witnessed bytes, 8-bit lookups
+        byte_cells = [self.rc.assign(v, 8, 8) for v in padded]
+
+        # witnessed length + monotone mask
+        len_cell = mg.assign_value(mlen, prov=("in",))
+        mask = [
+            mg.assign_bit(1 if i < mlen else 0, prov=("in",)) for i in range(pb)
+        ]
+        for i in range(pb - 1):
+            mg.assert_bit(mg.sub(mask[i], mask[i + 1]))  # prefix-of-ones
+        acc = b.zero
+        for m_bit in mask:
+            acc = mg.add(acc, m_bit)
+        mg.assert_equal(acc, len_cell)  # Σ mask == len
+
+        # step indicators p_i = [i == len]; 0x80 pinned at position len
+        p_cells = [mg.not_(mask[0])]
+        for i in range(1, pb):
+            p_cells.append(mg.sub(mask[i - 1], mask[i]))
+        for m_c, p_c in zip(byte_cells, p_cells):
+            # m·p − 0x80·p == 0  (one row, no new cell)
+            b.gate([m_c, p_c], (0, -0x80, 0, 0, 0, 1, 0, 0))
+
+        # one-hot block selector tied to len
+        s_cells = [
+            mg.assign_bit(1 if bi == nb_used - 1 else 0, prov=("in",))
+            for bi in range(nblocks)
+        ]
+        acc = b.zero
+        for s in s_cells:
+            acc = mg.add(acc, s)
+        mg.assert_one(acc)
+        s_weighted = b.zero
+        for bi, s in enumerate(s_cells):
+            s_weighted = mg.add(s_weighted, mg.mul_by_constant(s, bi))
+        # r = len + 8 − 64·(nb−1) ∈ [0, 64)
+        r_expr = mg.add_constant(mg.sub(len_cell, mg.mul_by_constant(s_weighted, 64)), 8)
+        r_rc = self.rc.assign(b.val(r_expr), 6, 6, source=r_expr)
+        mg.assert_equal(r_rc, r_expr)
+
+        # zero region: after 0x80, outside the selected block's length field
+        for i, (m_c, p_c) in enumerate(zip(byte_cells, p_cells)):
+            t = mg.mul(m_c, mg.not_(mask[i]))
+            t = mg.mul(t, mg.not_(p_c))
+            if i % 64 >= 56:
+                t = mg.mul(t, mg.not_(s_cells[i // 64]))
+            mg.assert_zero(t)
+
+        # selected block's length field composes to 8·len (big-endian)
+        sel_len = b.zero
+        for bi in range(nblocks):
+            comp = b.zero
+            for j in range(8):
+                comp = mg.mul_add(
+                    mg.assign_constant(1 << (8 * (7 - j))),
+                    byte_cells[64 * bi + 56 + j],
+                    comp,
+                )
+            sel_len = mg.mul_add(s_cells[bi], comp, sel_len)
+        mg.assert_equal(sel_len, mg.mul_by_constant(len_cell, 8))
+
+        # --- compression over all blocks, recording each block's h-state --
+        h = [self._const_word(x) for x in _H0]
+        k_words = [mg.assign_constant(x) for x in _K]
+        h_after: list[list[Word]] = []
+        for blk in range(nblocks):
+            h = self._compress_block(h, byte_cells[64 * blk : 64 * (blk + 1)], k_words)
+            h_after.append(h)
+
+        # --- s-selected digest -------------------------------------------
+        digest_words = []
+        for j in range(8):
+            acc = b.zero
+            for bi in range(nblocks):
+                acc = mg.mul_add(s_cells[bi], h_after[bi][j].cell, acc)
+            digest_words.append(acc)
+        digest_bytes = []
+        for j in range(8):
+            for byte_i in range(4):
+                acc = b.zero
+                for bi in range(nblocks):
+                    word = h_after[bi][j]
+                    bits = word.bits[8 * (3 - byte_i) : 8 * (3 - byte_i) + 8]
+                    acc = mg.mul_add(s_cells[bi], self._compose_bits(bits), acc)
+                digest_bytes.append(acc)
+        return digest_words, digest_bytes, byte_cells[:max_len], len_cell
+
+    def _compress_block(self, h, block_cells, k_words):
+        """One SHA-256 compression round over 64 byte cells; returns new h."""
+        w: list[Word] = []
+        for i in range(16):
+            cells4 = block_cells[4 * i : 4 * i + 4]
+            acc = self.b.zero
+            for j, bc in enumerate(cells4):
+                shift = 8 * (3 - j)
+                nxt = self.b.new_cell(
+                    self.b.val(acc) + (self.b.val(bc) << shift),
+                    ("lin", acc.idx, bc.idx, 0, 1, 1 << shift),
+                )
+                self.b.gate([acc, bc, nxt], (1, 1 << shift, -1, 0, 0, 0, 0, 0))
+                acc = nxt
+            w.append(self._decompose_word(acc))
+        for i in range(16, 64):
+            s0b = self._xor3_bits(
+                self._rotr(w[i - 15].bits, 7),
+                self._rotr(w[i - 15].bits, 18),
+                self._shr(w[i - 15].bits, 3),
+            )
+            s1b = self._xor3_bits(
+                self._rotr(w[i - 2].bits, 17),
+                self._rotr(w[i - 2].bits, 19),
+                self._shr(w[i - 2].bits, 10),
+            )
+            s0 = self._compose_bits(s0b)
+            s1 = self._compose_bits(s1b)
+            w.append(self._add_words_mod32([w[i - 16].cell, s0, w[i - 7].cell, s1]))
+
+        a, bb, c, d, e, f, g, hh = h
+        for i in range(64):
+            S1 = self._compose_bits(
+                self._xor3_bits(
+                    self._rotr(e.bits, 6), self._rotr(e.bits, 11), self._rotr(e.bits, 25)
+                )
+            )
+            ch = self._compose_bits(self._ch_bits(e.bits, f.bits, g.bits))
+            t1 = self.mg.add(hh.cell, S1)
+            t1 = self.mg.add(t1, ch)
+            t1 = self.mg.add(t1, k_words[i])
+            t1 = self.mg.add(t1, w[i].cell)
+            S0 = self._compose_bits(
+                self._xor3_bits(
+                    self._rotr(a.bits, 2), self._rotr(a.bits, 13), self._rotr(a.bits, 22)
+                )
+            )
+            maj = self._compose_bits(self._maj_bits(a.bits, bb.bits, c.bits))
+            t2 = self.mg.add(S0, maj)
+            new_e = self._add_words_mod32([d.cell, t1])
+            new_a = self._add_words_mod32([t1, t2])
+            a, bb, c, d, e, f, g, hh = new_a, a, bb, c, new_e, e, f, g
+
+        return [
+            self._add_words_mod32([x.cell, y.cell])
+            for x, y in zip(h, [a, bb, c, d, e, f, g, hh])
+        ]
+
     def digest(self, msg: bytes, msg_cells: list[Cell] | None = None):
         """Hash ``msg`` in-circuit.
 
@@ -176,66 +379,7 @@ class Sha256Chip:
         k_words = [self.mg.assign_constant(x) for x in _K]
 
         for blk in range(0, len(all_bytes), 64):
-            # message schedule w[0..16): compose 4 big-endian bytes per word
-            w: list[Word] = []
-            for i in range(16):
-                cells4 = all_cells[blk + 4 * i : blk + 4 * i + 4]
-                acc = self.b.zero
-                for j, bc in enumerate(cells4):
-                    shift = 8 * (3 - j)
-                    nxt = self.b.new_cell(
-                        self.b.val(acc) + (self.b.val(bc) << shift),
-                        ("lin", acc.idx, bc.idx, 0, 1, 1 << shift),
-                    )
-                    self.b.gate([acc, bc, nxt], (1, 1 << shift, -1, 0, 0, 0, 0, 0))
-                    acc = nxt
-                w.append(self._decompose_word(acc))
-            # w[16..64)
-            for i in range(16, 64):
-                s0b = self._xor3_bits(
-                    self._rotr(w[i - 15].bits, 7),
-                    self._rotr(w[i - 15].bits, 18),
-                    self._shr(w[i - 15].bits, 3),
-                )
-                s1b = self._xor3_bits(
-                    self._rotr(w[i - 2].bits, 17),
-                    self._rotr(w[i - 2].bits, 19),
-                    self._shr(w[i - 2].bits, 10),
-                )
-                s0 = self._compose_bits(s0b)
-                s1 = self._compose_bits(s1b)
-                w.append(
-                    self._add_words_mod32([w[i - 16].cell, s0, w[i - 7].cell, s1])
-                )
-
-            a, bb, c, d, e, f, g, hh = h
-            for i in range(64):
-                S1 = self._compose_bits(
-                    self._xor3_bits(
-                        self._rotr(e.bits, 6), self._rotr(e.bits, 11), self._rotr(e.bits, 25)
-                    )
-                )
-                ch = self._compose_bits(self._ch_bits(e.bits, f.bits, g.bits))
-                # t1 = h + S1 + ch + k + w
-                t1 = self.mg.add(hh.cell, S1)
-                t1 = self.mg.add(t1, ch)
-                t1 = self.mg.add(t1, k_words[i])
-                t1 = self.mg.add(t1, w[i].cell)
-                S0 = self._compose_bits(
-                    self._xor3_bits(
-                        self._rotr(a.bits, 2), self._rotr(a.bits, 13), self._rotr(a.bits, 22)
-                    )
-                )
-                maj = self._compose_bits(self._maj_bits(a.bits, bb.bits, c.bits))
-                t2 = self.mg.add(S0, maj)
-                new_e = self._add_words_mod32([d.cell, t1])
-                new_a = self._add_words_mod32([t1, t2])
-                a, bb, c, d, e, f, g, hh = new_a, a, bb, c, new_e, e, f, g
-
-            h = [
-                self._add_words_mod32([x.cell, y.cell])
-                for x, y in zip(h, [a, bb, c, d, e, f, g, hh])
-            ]
+            h = self._compress_block(h, all_cells[blk : blk + 64], k_words)
 
         digest_words = [word.cell for word in h]
         # big-endian digest bytes: word j, byte 0 = bits 24..32

@@ -182,3 +182,123 @@ def load_pk(path: str, srs: kzg.SRS):
 def load_vk(path: str):
     with open(path) as f:
         return _vk_from_doc(json.load(f))
+
+
+# ---------------------------------------------------------------------------
+# snarkjs .ptau ingestion (production trusted-setup artifacts)
+# ---------------------------------------------------------------------------
+#
+# The reference's ParamsKZG is an externally produced serialized artifact
+# (/root/reference/benches/bench.rs:235 regenerates a toy one; production
+# deployments load a ceremony file). The snarkjs "powers of tau" container:
+#   magic "ptau" | u32 version | u32 nSections |
+#   { u32 sectionId | u64 sectionSize | payload } ...
+#   section 1 (header): u32 n8 | n8-byte prime q (LE) | u32 power | u32 cpow
+#   section 2 (tauG1):  2*2^power-1 points, each 2*n8 bytes — x,y Montgomery
+#                        (R = 2^(8*n8) mod q), little-endian
+#   section 3 (tauG2):  2^power points, each 4*n8 bytes — x.c0,x.c1,y.c0,y.c1
+
+_PTAU_MAGIC = b"ptau"
+
+
+def _ptau_sections(data: bytes) -> dict:
+    assert data[:4] == _PTAU_MAGIC, "not a .ptau file"
+    n_sections = int.from_bytes(data[8:12], "little")
+    pos = 12
+    sections = {}
+    for _ in range(n_sections):
+        sid = int.from_bytes(data[pos : pos + 4], "little")
+        size = int.from_bytes(data[pos + 4 : pos + 12], "little")
+        sections[sid] = (pos + 12, size)
+        pos += 12 + size
+    return sections
+
+
+def load_srs_ptau(path: str, n: int) -> kzg.SRS:
+    """Build an SRS from the first ``n`` tau-G1 powers of a snarkjs .ptau
+    ceremony file (bn128). Curve membership of every loaded point is
+    checked; Montgomery coordinates are converted to standard form."""
+    import jax.numpy as jnp
+
+    from ..prover import curve
+
+    data = open(path, "rb").read()
+    sections = _ptau_sections(data)
+    off, _ = sections[1]
+    n8 = int.from_bytes(data[off : off + 4], "little")
+    q = int.from_bytes(data[off + 4 : off + 4 + n8], "little")
+    assert q == curve.Q, ".ptau prime is not BN254 Fq"
+    power = int.from_bytes(data[off + 4 + n8 : off + 8 + n8], "little")
+    assert n <= (1 << power) * 2 - 1, f".ptau power {power} too small for n={n}"
+    r_inv = pow(1 << (8 * n8), -1, q)
+
+    def read_fq(pos: int) -> int:
+        return int.from_bytes(data[pos : pos + n8], "little") * r_inv % q
+
+    g1_off, g1_size = sections[2]
+    assert g1_size >= n * 2 * n8, ".ptau tauG1 section too small"
+    pts = []
+    for i in range(n):
+        p = g1_off + i * 2 * n8
+        pt = (read_fq(p), read_fq(p + n8))
+        assert curve.g1_is_on_curve(pt), f"tauG1[{i}] not on curve"
+        pts.append(pt)
+
+    g2_off, g2_size = sections[3]
+    assert g2_size >= 2 * 4 * n8, ".ptau tauG2 section too small"
+
+    def read_g2(pos: int):
+        pt = (
+            (read_fq(pos), read_fq(pos + n8)),
+            (read_fq(pos + 2 * n8), read_fq(pos + 3 * n8)),
+        )
+        assert curve.g2_is_on_curve(pt), "tauG2 point not on curve"
+        return pt
+
+    g2_gen = read_g2(g2_off)
+    g2_tau = read_g2(g2_off + 4 * n8)
+    assert g2_gen == curve.G2_GEN, ".ptau tauG2[0] is not the G2 generator"
+    return kzg.SRS(
+        n=n,
+        g1_powers=g1_vec.points_to_device(pts),
+        g2_gen=g2_gen,
+        g2_tau=g2_tau,
+    )
+
+
+def save_srs_ptau(srs: kzg.SRS, path: str, power: int) -> None:
+    """Write an SRS in snarkjs .ptau layout (testing/interop; sections 1-3).
+
+    ``power`` must satisfy 2^power >= srs.n (section 2 is padded with the
+    generator repeated — readers only consume the first n points they need).
+    """
+    from ..prover import curve
+
+    n8 = 32
+    q = curve.Q
+    r = 1 << (8 * n8)
+
+    def fq(x: int) -> bytes:
+        return (x * r % q).to_bytes(n8, "little")
+
+    g1_pts = srs.g1_affine()
+    count1 = (1 << power) * 2 - 1
+    assert len(g1_pts) <= count1
+    body1 = b"".join(fq(p[0]) + fq(p[1]) for p in g1_pts)
+    body1 += (fq(curve.G1_GEN[0]) + fq(curve.G1_GEN[1])) * (count1 - len(g1_pts))
+
+    def g2b(p) -> bytes:
+        return fq(p[0][0]) + fq(p[0][1]) + fq(p[1][0]) + fq(p[1][1])
+
+    count2 = 1 << power
+    body3 = g2b(srs.g2_gen) + g2b(srs.g2_tau)
+    body3 += g2b(srs.g2_gen) * (count2 - 2)
+
+    head = n8.to_bytes(4, "little") + q.to_bytes(n8, "little")
+    head += power.to_bytes(4, "little") + power.to_bytes(4, "little")
+
+    with open(path, "wb") as f:
+        f.write(_PTAU_MAGIC + (1).to_bytes(4, "little") + (3).to_bytes(4, "little"))
+        for sid, body in ((1, head), (2, body1), (3, body3)):
+            f.write(sid.to_bytes(4, "little") + len(body).to_bytes(8, "little"))
+            f.write(body)

@@ -1,10 +1,19 @@
 #!/usr/bin/env python
-"""Time the flagship prove: RSA-1024 pkcs1v15 verify, SHA-2 disabled
-(reference's only enabled bench: /root/reference/benches/bench.rs:369-377).
+"""Time the flagship prove: RSA pkcs1v15 verify, SHA-2 disabled
+(reference's only enabled bench: /root/reference/benches/bench.rs:369-377,
+1024-bit key, pre-hashed 32-byte message, k=15).
 
-Phases: circuit build (trace), SRS setup, keygen, prove, verify.
+Usage: time_flagship_prove.py [bits] [--json out.json]
+
+Phases: circuit build (trace), SRS setup, keygen, prove (cold+warm with the
+per-round witness/NTT/MSM/open breakdown from utils.profiling.Phases), verify.
+Emits one JSON line on stdout with every number BASELINE.md's table needs.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+
+import json
 import random
 import sys
 import time
@@ -17,11 +26,16 @@ from halo2_rsa_tpu.circuit import Builder, checker
 from halo2_rsa_tpu.fields import BN254_FR
 from halo2_rsa_tpu.prover import kzg, plonk
 from halo2_rsa_tpu.rsa import DEFAULT_E, RSAChip, RSAPubE, RSAPublicKey, RSASignature
+from halo2_rsa_tpu.utils.profiling import Phases
 import hashlib
 
 print(f"imports: {time.perf_counter()-t_import0:.1f}s", file=sys.stderr)
 
-bits = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+bits = int(args[0]) if args else 1024
+json_out = None
+if "--json" in sys.argv:
+    json_out = sys.argv[sys.argv.index("--json") + 1]
 
 rng = random.Random(7)
 msg = bytes(rng.randrange(256) for _ in range(32))
@@ -53,11 +67,10 @@ print(
     file=sys.stderr,
 )
 
-import math
-
 k = max(compiled.num_gates, compiled.num_witness // 5 + 1).bit_length()
 print(f"choosing k={k}", file=sys.stderr)
-srs = kzg.setup(1 << k, tau=777)
+# SRS must cover the ZK blinding tail: n + BLIND powers (plonk.keygen asserts)
+srs = kzg.setup((1 << k) + plonk.BLIND, tau=777)
 t3 = time.perf_counter()
 print(f"srs setup: {t3-t2:.2f}s", file=sys.stderr)
 
@@ -66,17 +79,54 @@ t4 = time.perf_counter()
 print(f"keygen: {t4-t3:.2f}s", file=sys.stderr)
 
 pub = [(n >> (64 * i)) & ((1 << 64) - 1) for i in range(bits // 64)]
-proof = plonk.prove(pk, b.values, pub)
+ph_cold = Phases()
+proof = plonk.prove(pk, b.values, pub, phases=ph_cold)
 t5 = time.perf_counter()
-print(f"prove: {t5-t4:.2f}s  proof_bytes={len(proof)}", file=sys.stderr)
+print(
+    f"prove(cold): {t5-t4:.2f}s  proof_bytes={len(proof)}\n"
+    f"  phases: {ph_cold.dump()}",
+    file=sys.stderr,
+)
 
 ok = plonk.verify(vk, proof, pub)
 t6 = time.perf_counter()
 print(f"verify: {t6-t5:.2f}s  ok={ok}", file=sys.stderr)
 assert ok
 
-# second prove (warm caches)
-t7 = time.perf_counter()
-proof2 = plonk.prove(pk, b.values, pub)
-t8 = time.perf_counter()
-print(f"prove(warm): {t8-t7:.2f}s", file=sys.stderr)
+# warm proves (compiled graphs cached) — the steady-state proving rate
+warm = []
+ph_warm = Phases()
+for _ in range(3):
+    t7 = time.perf_counter()
+    plonk.prove(pk, b.values, pub, phases=ph_warm)
+    warm.append(time.perf_counter() - t7)
+print(
+    f"prove(warm x{len(warm)}): {['%.2f' % w for w in warm]}s\n"
+    f"  phases(sum): {ph_warm.dump()}",
+    file=sys.stderr,
+)
+
+import jax
+
+result = {
+    "config": f"pkcs1v15_rsa{bits}_sha_disabled_k{k}",
+    "device": str(jax.devices()[0]),
+    "k": k,
+    "gates": int(compiled.num_gates),
+    "witness_cells": int(compiled.num_witness),
+    "lookups": int(compiled.num_lookups),
+    "proof_bytes": len(proof),
+    "srs_setup_s": round(t3 - t2, 3),
+    "keygen_s": round(t4 - t3, 3),
+    "prove_cold_s": round(t5 - t4, 3),
+    "prove_warm_s": round(min(warm), 3),
+    "verify_s": round(t6 - t5, 3),
+    "phases_cold": ph_cold.report()["phases_s"],
+    "phases_warm_avg": {
+        kk: round(v / len(warm), 4) for kk, v in ph_warm.times.items()
+    },
+}
+print(json.dumps(result))
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump(result, f, indent=1)

@@ -84,3 +84,36 @@ def test_e2e_wrong_message_rejected():
     other = bytes(rng.randrange(256) for _ in range(128))
     n, sig = _keygen_and_sign(1024, other)
     assert not _verifier_circuit(1024, n, sig, msg)["ok"]
+
+
+def test_e2e_dynamic_sha_one_shape_two_lengths():
+    """Full RSA+SHA composition in dynamic mode: 64- and 100-byte messages
+    produce the SAME trace (one vk) and both verify (lib.rs:308-320 parity)."""
+    rng = random.Random(5)
+    max_len = 100
+    sigs = []
+    for mlen in (64, 100):
+        msg = bytes(rng.randrange(256) for _ in range(mlen))
+        n, sig_int = _keygen_and_sign(1024, msg)
+        b = Builder(BN254_FR)
+        rsa_chip = RSAChip(b, 1024, EXP_LIMB_BITS)
+        verifier = RSASignatureVerifier(rsa_chip, Sha256Chip(b))
+        pk = rsa_chip.assign_public_key(RSAPublicKey(n, RSAPubE.fix(DEFAULT_E)))
+        sig = rsa_chip.assign_signature(RSASignature(sig_int))
+        is_valid, hashed_bytes = verifier.verify_pkcs1v15_signature(
+            pk, msg, sig, max_len=max_len
+        )
+        rsa_chip.main_gate.assert_one(is_valid)
+        for limb in pk.n.limbs:
+            b.expose_public(limb)
+        for cell in hashed_bytes:
+            b.expose_public(cell)
+        import hashlib
+
+        pub = [
+            (n >> (LIMB_WIDTH * i)) & ((1 << LIMB_WIDTH) - 1)
+            for i in range(1024 // LIMB_WIDTH)
+        ] + list(hashlib.sha256(msg).digest())
+        assert checker.run(b, pub)["ok"], f"dynamic e2e fails at len={mlen}"
+        sigs.append((tuple(b.gate_idx), tuple(b.gate_coef), tuple(b.lookups)))
+    assert sigs[0] == sigs[1], "dynamic SHA e2e must share one trace shape"

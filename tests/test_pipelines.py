@@ -8,6 +8,8 @@ witness proven afterwards must verify under that key.
 
 import random
 
+import pytest
+
 import numpy as np
 
 from halo2_rsa_tpu.bigint import BigIntChip
@@ -54,6 +56,7 @@ def test_without_witness_shape_stable_sha256():
     assert _trace_signature(dummy) == _trace_signature(real)
 
 
+@pytest.mark.slow
 def test_keygen_from_dummy_then_prove_real():
     """keygen on a dummy-witness trace; a real witness proves under it."""
     rng = random.Random(5)

@@ -76,3 +76,36 @@ def test_phases():
     assert rep["counts"]["msm"] == 2
     assert "msm" in rep["phases_s"]
     assert ph.rate("msm", 100) > 0
+
+
+def test_ptau_roundtrip(tmp_path):
+    """snarkjs .ptau container: write our SRS in ceremony layout, ingest it
+    back (Montgomery decode + on-curve checks), KZG round trip with it."""
+    srs = kzg.setup(16, tau=13131313)
+    p = str(tmp_path / "toy.ptau")
+    serialization.save_srs_ptau(srs, p, power=4)
+    srs2 = serialization.load_srs_ptau(p, 16)
+    assert srs2.g1_affine() == srs.g1_affine()
+    assert srs2.g2_tau == srs.g2_tau and srs2.g2_gen == srs.g2_gen
+
+    coeffs = [3, 1, 4, 1, 5, 9, 2, 6]
+    c = kzg.commit(srs2, coeffs)
+    v, pi = kzg.open_at(srs2, coeffs, 12345)
+    assert v == sum(a * pow(12345, i, kzg.R) for i, a in enumerate(coeffs)) % kzg.R
+    assert kzg.verify_open(srs2, c, 12345, v, pi)
+
+
+def test_ptau_rejects_corrupt_point(tmp_path):
+    import pytest
+
+    srs = kzg.setup(8, tau=777)
+    p = str(tmp_path / "bad.ptau")
+    serialization.save_srs_ptau(srs, p, power=3)
+    data = bytearray(open(p, "rb").read())
+    # corrupt the y coordinate of tauG1[1] (section 2 starts after header)
+    secs = serialization._ptau_sections(bytes(data))
+    off, _ = secs[2]
+    data[off + 3 * 32] ^= 1
+    open(p, "wb").write(bytes(data))
+    with pytest.raises(AssertionError):
+        serialization.load_srs_ptau(p, 8)

@@ -99,3 +99,23 @@ def test_batch_shapes():
     flat = vecfield.to_ints(fc, out.reshape(12, 16))
     for x, g in zip(xs, flat):
         assert g == (x * x) % BN254_FR.p
+
+
+def test_pallas_mont_mul_parity():
+    """Pallas CIOS kernel (interpret mode on CPU) == XLA mont_mul path."""
+    import random
+
+    from halo2_rsa_tpu.fields import pallas_mont
+
+    fc = vecfield.consts(BN254_FR)
+    rng = random.Random(11)
+    n = 200  # not a multiple of 128: exercises padding
+    xs = [rng.randrange(BN254_FR.p) for _ in range(n)]
+    ys = [rng.randrange(BN254_FR.p) for _ in range(n)]
+    a = vecfield.from_ints(fc, xs, mont=True)
+    b = vecfield.from_ints(fc, ys, mont=True)
+    want = vecfield.mont_mul(fc, a, b)
+    got = pallas_mont.mont_mul_pallas(fc, a, b, interpret=True)
+    import numpy as np
+
+    assert (np.asarray(got) == np.asarray(want)).all()
