@@ -67,7 +67,8 @@ def bench_checker(out):
     coef_id = jnp.asarray(compiled.gate_coef_id)
     coef_table = jnp.asarray(compiled.coef_table)
 
-    # vmapped direct evaluation (no per-instance dispatch)
+    # batched direct evaluation (explicit batch axis — no vmap, so the
+    # fused Pallas field kernels stay on their primary path)
     from halo2_rsa_tpu.circuit.checker import eval_gates, eval_lookup
     from halo2_rsa_tpu.fields import vecfield
 
@@ -75,23 +76,34 @@ def bench_checker(out):
 
     @jax.jit
     def check_all(wb):
-        def one(ws):
-            wm = vecfield._mont_mul(fc, ws, jnp.broadcast_to(fc.r2_limbs, ws.shape))
-            ok = eval_gates(fc, gate_idx, coef_table[coef_id], wm)
-            viol = jnp.sum(~ok).astype(jnp.int32)
-            for bits_, idx in zip(lookup_bits, lookup_idx):
-                viol = viol + jnp.sum(~eval_lookup(ws[idx], bits_)).astype(jnp.int32)
-            return viol
+        wm = vecfield._mont_mul(fc, wb, jnp.broadcast_to(fc.r2_limbs, wb.shape))
+        ok = eval_gates(fc, gate_idx, coef_table[coef_id], wm)  # (B, R)
+        viol = jnp.sum(~ok, axis=-1).astype(jnp.int32)
+        for bits_, idx in zip(lookup_bits, lookup_idx):
+            viol = viol + jnp.sum(
+                ~eval_lookup(wb[:, idx], bits_), axis=-1
+            ).astype(jnp.int32)
+        return viol
 
-        return jax.vmap(one)(wb)
+    # Chained timing: the tunneled TPU's block_until_ready does not cover
+    # execution, so each iteration's INPUT depends on the previous OUTPUT
+    # (adding min(viol,0)==0, which the compiler cannot fold away) and one
+    # host readback at the end covers the whole chain.
+    @jax.jit
+    def check_step(wb):
+        viol = check_all(wb)
+        dep = jnp.minimum(viol, 0).astype(jnp.uint32)  # always 0, data-dep
+        return wb + dep[:, None, None], viol
 
     wb = jnp.asarray(w)
-    viol = jax.block_until_ready(check_all(wb))
-    assert (viol == 0).all()
+    _, viol = check_step(wb)
+    assert (np.asarray(viol) == 0).all()
     iters = 10
     t0 = time.perf_counter()
+    x = wb
     for _ in range(iters):
-        jax.block_until_ready(check_all(wb))
+        x, viol = check_step(x)
+    assert int(jnp.sum(viol)) == 0
     dt = time.perf_counter() - t0
     out["mulmod2048_checks_per_s"] = round(B * iters / dt, 1)
     out["checker_gate_rows"] = int(compiled.num_gates)
@@ -113,11 +125,19 @@ def bench_msm(out):
     reps = n_msm // 64
     pts = tuple(jnp.tile(c, (reps, 1)) for c in pts_small)
     sc = jnp.asarray(rng.integers(0, 1 << 16, (n_msm, 16), dtype=np.uint32))
-    jax.block_until_ready(msm.msm(sc, pts))
+
+    # chained timing (see bench_checker): next scalars depend on the result
+    def msm_step(s):
+        r = msm.msm(s, pts)
+        return jnp.bitwise_xor(s, jnp.broadcast_to(r[0][None, :], s.shape) & 1)
+
+    s = msm_step(sc)
+    _ = int(jnp.sum(s))
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        jax.block_until_ready(msm.msm(sc, pts))
+        s = msm_step(s)
+    _ = int(jnp.sum(s))
     dt = (time.perf_counter() - t0) / iters
     out["msm15_points_per_s"] = round(n_msm / dt, 0)
     out["msm15_s"] = round(dt, 4)

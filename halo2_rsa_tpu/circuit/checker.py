@@ -131,10 +131,11 @@ def witness_limbs(builder_or_values) -> np.ndarray:
 def eval_gates(fc: FieldConsts, gate_idx, coef, w_mont):
     """Evaluate the gate relation for all rows.
 
-    gate_idx (R,5) int32; coef (R,8,16) uint32 Montgomery; w_mont (W,16).
-    Returns (R,) bool — True where the row is satisfied.
+    gate_idx (R,5) int32; coef (R,8,16) uint32 Montgomery; w_mont (...,W,16)
+    — leading axes batch over witness instances sharing one trace shape.
+    Returns (..., R) bool — True where the row is satisfied.
     """
-    ws = [w_mont[gate_idx[:, k]] for k in range(5)]
+    ws = [w_mont[..., gate_idx[:, k], :] for k in range(5)]
     acc = coef[:, 7]  # q_const (Montgomery ⇒ carries the same single R factor)
     for k in range(5):
         acc = _add(fc, acc, _mont_mul(fc, coef[:, k], ws[k]))

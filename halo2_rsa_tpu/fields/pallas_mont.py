@@ -32,13 +32,42 @@ from .vecfield import FieldConsts
 _MASK = np.uint32(LIMB_MASK)
 _BASE = np.uint32(1 << LIMB_BITS)
 
-BLOCK_N = 2048  # lanes per grid step: 16 rows x 2048 lanes x ~8 arrays ~ 1 MB VMEM
+BLOCK_N = 8192  # lanes per grid step: 16 rows x 8192 lanes x ~40 live rows
+# ~1.3 MB VMEM; measured fastest of {2048, 4096, 8192} on v5e (kern sweep)
 
 
-def _mont_mul_kernel_body(p_limbs, n0inv, a_ref, b_ref, o_ref):
-    """Unrolled CIOS over (16, BN) blocks. All rows are (BN,) uint32."""
-    a = [a_ref[i, :] for i in range(NUM_LIMBS)]
-    b = [b_ref[i, :] for i in range(NUM_LIMBS)]
+# ---------------------------------------------------------------------------
+# row algebra (shared by all fused kernels): field elements as Python lists
+# of NUM_LIMBS (BN,)-shaped uint32 rows, everything held in VMEM/registers
+# ---------------------------------------------------------------------------
+
+
+def _cond_sub_rows(limbs17, p_limbs):
+    """17 canonical rows (< 2p) -> 16 canonical rows mod p."""
+    p17 = [np.uint32(x) for x in p_limbs] + [np.uint32(0)]
+    borrow = jnp.zeros_like(limbs17[0])
+    diff = []
+    for j in range(NUM_LIMBS + 1):
+        v = limbs17[j] + _BASE - p17[j] - borrow
+        diff.append(v & _MASK)
+        borrow = jnp.uint32(1) - (v >> LIMB_BITS)
+    keep = borrow == 1  # value < p ? keep : diff
+    return [jnp.where(keep, limbs17[j], diff[j]) for j in range(NUM_LIMBS)]
+
+
+def _carry_rows(t, out_limbs):
+    """Deferred-carry rows -> canonical rows (< 2^16 each)."""
+    limbs = []
+    c = jnp.zeros_like(t[0])
+    for j in range(out_limbs):
+        v = (t[j] if j < len(t) else jnp.zeros_like(t[0])) + c
+        limbs.append(v & _MASK)
+        c = v >> LIMB_BITS
+    return limbs
+
+
+def _cios_rows(a, b, p_limbs, n0inv):
+    """Montgomery product of two 16-row elements (canonical in/out)."""
     p = [np.uint32(x) for x in p_limbs]
     zero = jnp.zeros_like(a[0])
     t = [zero] * (NUM_LIMBS + 1)
@@ -57,24 +86,36 @@ def _mont_mul_kernel_body(p_limbs, n0inv, a_ref, b_ref, o_ref):
         carry0 = t[0] >> LIMB_BITS
         t = t[1:] + [zero]
         t[0] = t[0] + carry0
-    # final carry propagation to 17 canonical limbs
-    limbs = []
-    c = zero
-    for j in range(NUM_LIMBS + 1):
-        v = t[j] + c
-        limbs.append(v & _MASK)
-        c = v >> LIMB_BITS
-    # conditional subtract p (17-limb borrow chain; p17 top limb = 0)
-    p17 = p + [np.uint32(0)]
-    borrow = zero
+    return _cond_sub_rows(_carry_rows(t, NUM_LIMBS + 1), p_limbs)
+
+
+def _add_rows(a, b, p_limbs):
+    """(a + b) mod p on 16-row canonical elements."""
+    s = [a[j] + b[j] for j in range(NUM_LIMBS)]
+    return _cond_sub_rows(_carry_rows(s, NUM_LIMBS + 1), p_limbs)
+
+
+def _sub_rows(a, b, p_limbs):
+    """(a - b) mod p on 16-row canonical elements."""
+    p = [np.uint32(x) for x in p_limbs]
+    borrow = jnp.zeros_like(a[0])
     diff = []
-    for j in range(NUM_LIMBS + 1):
-        v = limbs[j] + _BASE - p17[j] - borrow
+    for j in range(NUM_LIMBS):
+        v = a[j] + _BASE - b[j] - borrow
         diff.append(v & _MASK)
         borrow = jnp.uint32(1) - (v >> LIMB_BITS)
-    keep = borrow == 1  # limbs < p ? keep : diff
+    add_back = borrow == 1  # a < b: add p
+    corr = [diff[j] + jnp.where(add_back, p[j], np.uint32(0)) for j in range(NUM_LIMBS)]
+    return _carry_rows(corr, NUM_LIMBS)
+
+
+def _mont_mul_kernel_body(p_limbs, n0inv, a_ref, b_ref, o_ref):
+    """Unrolled CIOS over (16, BN) blocks. All rows are (BN,) uint32."""
+    a = [a_ref[i, :] for i in range(NUM_LIMBS)]
+    b = [b_ref[i, :] for i in range(NUM_LIMBS)]
+    out = _cios_rows(a, b, p_limbs, n0inv)
     for j in range(NUM_LIMBS):
-        o_ref[j, :] = jnp.where(keep, limbs[j], diff[j])
+        o_ref[j, :] = out[j]
 
 
 @functools.lru_cache(maxsize=None)
@@ -98,7 +139,11 @@ def _build_call(p_limbs: tuple, n0inv: int, n: int, interpret: bool):
         out_specs=spec,
         interpret=interpret,
     )
-    return jax.jit(call)
+    # fjit, not jax.jit: interpret mode inlines the kernel body into an
+    # XLA:CPU graph whose `fusion` pass is superlinear (see utils.xjit)
+    from ..utils.xjit import fjit
+
+    return fjit(call)
 
 
 def mont_mul_pallas(fc: FieldConsts, a, b, interpret: bool | None = None):
@@ -123,3 +168,16 @@ def mont_mul_pallas(fc: FieldConsts, a, b, interpret: bool | None = None):
     )
     out = call(at, bt)
     return jnp.transpose(out, (1, 0))[:n]
+
+
+def mont_mul_any(fc: FieldConsts, a, b, interpret: bool | None = None):
+    """Montgomery product over arbitrarily-batched (..., 16) limb arrays:
+    broadcast, flatten the batch dims, run the fused kernel, reshape back.
+
+    The drop-in fused form of ``vecfield._mont_mul`` for large batches
+    (one HBM round trip instead of one per CIOS step)."""
+    batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    a = jnp.broadcast_to(a, batch + (NUM_LIMBS,)).reshape(-1, NUM_LIMBS)
+    b = jnp.broadcast_to(b, batch + (NUM_LIMBS,)).reshape(-1, NUM_LIMBS)
+    out = mont_mul_pallas(fc, a, b, interpret=interpret)
+    return out.reshape(batch + (NUM_LIMBS,))

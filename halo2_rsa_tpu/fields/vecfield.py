@@ -53,6 +53,54 @@ def _rolled() -> bool:
     return os.environ.get("HALO2_RSA_TPU_UNROLL", "0") not in ("1", "true")
 
 
+@functools.lru_cache(maxsize=1)
+def _pallas_enabled() -> bool:
+    """Whether large-batch Montgomery muls dispatch to the fused Pallas TPU
+    kernel (:mod:`.pallas_mont`) instead of the XLA limb-op graph.
+
+    Defaults to on for the TPU backend (the kernel keeps the whole CIOS in
+    VMEM — one HBM round trip instead of one per step); off elsewhere (the
+    XLA path is what the CPU test mesh exercises). HALO2_RSA_TPU_PALLAS=0/1
+    overrides."""
+    env = os.environ.get("HALO2_RSA_TPU_PALLAS", "")
+    if env in ("0", "false"):
+        return False
+    if env in ("1", "true"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
+_PALLAS_MIN_BATCH = 1024
+
+
+def _chains_rolled() -> bool:
+    """Whether carry/borrow chains build as lax.scan (small graphs, many
+    sequential micro-kernels) or unroll into one fusable elementwise chain.
+
+    On TPU (pallas mode) the ~50-op unrolled chain is strictly better: XLA
+    fuses it into a single pass where the scan form makes 16 sequential
+    passes over HBM. The scan form remains the CPU default for bounded
+    compile time of whole-prover graphs."""
+    return _rolled() and not _pallas_enabled()
+
+
+def _pallas_dispatch(a, b) -> bool:
+    """Use the fused kernel for this mul? Large static batches only; under
+    vmap the batch dim is invisible here, so defer to the XLA path (which
+    vmap transforms soundly)."""
+    if not _pallas_enabled():
+        return False
+    from jax._src.interpreters.batching import BatchTracer
+
+    if isinstance(a, BatchTracer) or isinstance(b, BatchTracer):
+        return False
+    batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    size = 1
+    for d in batch:
+        size *= d
+    return size >= _PALLAS_MIN_BATCH
+
+
 class FieldConsts:
     """Device-side constants for one prime field (limb arrays).
 
@@ -109,7 +157,7 @@ def _carry_prop(t, out_limbs: int):
         t = _pad_last(t, 0, out_limbs - k)
     elif k > out_limbs:
         t = t[..., :out_limbs]
-    if _rolled():
+    if _chains_rolled():
         tT = jnp.moveaxis(t, -1, 0)
 
         def step(c, v):
@@ -137,7 +185,7 @@ def _sub_limbs(a, b):
     a = jnp.broadcast_to(a, batch + (n,))
     b = jnp.broadcast_to(b, batch + (n,))
     base = np.uint32(1 << LIMB_BITS)
-    if _rolled():
+    if _chains_rolled():
 
         def step(borrow, ab):
             av, bv = ab
@@ -193,6 +241,10 @@ def _mont_mul(fc, a, b):
     stay < 2^23, well inside u32. The step loop is a ``fori_loop`` by default
     (bounded compile time); HALO2_RSA_TPU_UNROLL=1 unrolls it into one
     fusable elementwise graph (see :func:`_rolled`)."""
+    if _pallas_dispatch(a, b):
+        from . import pallas_mont
+
+        return pallas_mont.mont_mul_any(fc, a, b)
     batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
     b = jnp.broadcast_to(b, batch + (NUM_LIMBS,))
     a = jnp.broadcast_to(a, batch + (NUM_LIMBS,))
@@ -211,7 +263,11 @@ def _mont_mul(fc, a, b):
         carry0 = t[..., :1] >> LIMB_BITS
         return _pad_last(t[..., 1:], 0, 1) + _pad_last(carry0, 0, NUM_LIMBS)
 
-    if _rolled():
+    # Rolled (fori_loop) keeps graphs small for the CPU backend; with the
+    # Pallas path active the non-dispatched (small-batch) muls unroll so XLA
+    # fuses them — e.g. the MSM Horner tail's few-lane point ops, which the
+    # scan form turns into hundreds of sequential micro-kernels.
+    if _rolled() and not _pallas_enabled():
         t = jax.lax.fori_loop(
             0,
             NUM_LIMBS,
@@ -324,11 +380,12 @@ def inv(fc: FieldConsts, a):
 
 
 def _hs_scan(op, fill, vals, reverse: bool = False):
-    """Inclusive Hillis-Steele scan along axis 0 of (N, 16) limb arrays.
+    """Inclusive Hillis-Steele scan along axis -2 of (..., N, 16) limb
+    arrays (leading axes batch).
 
     ``op(a, b)`` is the combiner; ``fill`` the identity row (16,). One
     combiner instance inside a fori_loop regardless of N."""
-    n = vals.shape[0]
+    n = vals.shape[-2]
     if n <= 1:
         return vals
     steps = (n - 1).bit_length()
@@ -342,65 +399,63 @@ def _hs_scan(op, fill, vals, reverse: bool = False):
         else:
             src = jnp.maximum(iota - d, 0)
             live = iota >= d
-        shifted = jnp.where(live[:, None], jnp.take(acc, src, axis=0), fill)
+        shifted = jnp.where(live[:, None], jnp.take(acc, src, axis=-2), fill)
         return op(acc, shifted)
 
     return jax.lax.fori_loop(0, steps, body, vals)
 
 
 def prefix_mul(fc: FieldConsts, vals_mont):
-    """Inclusive prefix product (Montgomery) along axis 0."""
+    """Inclusive prefix product (Montgomery) along axis -2 (leading batch)."""
     one = jnp.asarray(from_ints_np(fc, [1], mont=True))[0]
     return _hs_scan(lambda a, b: _mont_mul(fc, a, b), one, vals_mont)
 
 
 def prefix_add(fc: FieldConsts, vals):
-    """Inclusive prefix sum mod p along axis 0."""
+    """Inclusive prefix sum mod p along axis -2 (leading batch)."""
     zero = jnp.zeros((NUM_LIMBS,), _U32)
     return _hs_scan(lambda a, b: _add(fc, a, b), zero, vals)
 
 
 def suffix_add(fc: FieldConsts, vals):
-    """s_i = sum_{j >= i} vals_j (mod p) along axis 0."""
+    """s_i = sum_{j >= i} vals_j (mod p) along axis -2 (leading batch)."""
     zero = jnp.zeros((NUM_LIMBS,), _U32)
     return _hs_scan(lambda a, b: _add(fc, a, b), zero, vals, reverse=True)
 
 
 def reduce_add(fc: FieldConsts, vals):
     """Sum along axis 0 of (N, ..., 16) limb arrays, mod p — log-depth
-    halving fold (one add instance in the compiled graph)."""
+    halving fold, Python-unrolled so every level processes only the
+    surviving half (total traffic ~2x the input, vs log2(N)x for a
+    masked fixed-shape fold)."""
     n = vals.shape[0]
-    if n == 1:
-        return vals[0]
-    npow = 1 << (n - 1).bit_length()
-    if npow > n:
-        pad_shape = (npow - n,) + vals.shape[1:]
-        vals = jnp.concatenate([vals, jnp.zeros(pad_shape, _U32)], axis=0)
-    iota = jnp.arange(npow, dtype=jnp.int32)
+    while n > 1:
+        half = n // 2
+        merged = _add(fc, vals[:half], vals[half : 2 * half])
+        if n % 2:
+            merged = jnp.concatenate([merged, vals[2 * half :]], axis=0)
+        vals = merged
+        n = vals.shape[0]
+    return vals[0]
 
-    def fold(l, acc):
-        half = jnp.int32(npow) >> (l + 1)
-        src = jnp.minimum(iota + half, npow - 1)
-        partner = jnp.take(acc, src, axis=0)
-        merged = _add(fc, acc, partner)
-        keep = iota < half
-        keep = keep.reshape((npow,) + (1,) * (acc.ndim - 1))
-        return jnp.where(keep, merged, acc)
 
-    acc = jax.lax.fori_loop(0, npow.bit_length() - 1, fold, vals)
-    return acc[0]
+@functools.partial(fjit, static_argnums=(0, 2))
+def _pow_series_graph(fc, x_m, n: int):
+    rows = jnp.broadcast_to(x_m, (n, NUM_LIMBS))
+    one = jnp.asarray(from_ints_np(fc, [1], mont=True))
+    rows = jnp.concatenate([one, rows[1:]], axis=0)
+    return prefix_mul(fc, rows)
 
 
 def pow_series(fc: FieldConsts, x_int: int, n: int):
     """[x^0, x^1, ..., x^{n-1}] as a device (n, 16) Montgomery array.
 
-    Device-side log-depth build (prefix product of x rows) — replaces
-    O(n) host big-int loops in prover hot paths."""
-    x_m = jnp.asarray(from_ints_np(fc, [x_int % fc.field.p], mont=True))
-    rows = jnp.broadcast_to(x_m, (max(n, 1), NUM_LIMBS))
-    one = jnp.asarray(from_ints_np(fc, [1], mont=True))
-    rows = jnp.concatenate([one, rows[1:]], axis=0)
-    return prefix_mul(fc, rows)
+    Device-side log-depth build (prefix product of x rows). The base enters
+    as an ARRAY argument of a jitted graph — baking it in as a constant
+    would re-trace (and re-lower the Pallas mul) on every transcript
+    challenge, which profiling showed dominating whole prover rounds."""
+    x_m = jnp.asarray(from_ints_np(fc, [x_int % fc.field.p], mont=True))[0]
+    return _pow_series_graph(fc, x_m, max(n, 1))
 
 
 # ---------------------------------------------------------------------------

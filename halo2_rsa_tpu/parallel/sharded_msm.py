@@ -72,8 +72,9 @@ def make_sharded_msm(mesh: Mesh, axis: str = "rows"):
             else:
                 size = half
             acc = merged
-        window_sums = tuple(c[0] for c in acc)  # (W, 16)
-        return _window_combine(window_sums, window_bits)
+        window_sums = tuple(c[:1] for c in acc)  # (1, W, 16)
+        out = _window_combine(window_sums, window_bits)  # (1, 16) coords
+        return tuple(c[0] for c in out)
 
     fn = fjit(
         jax.shard_map(

@@ -88,9 +88,11 @@ def _four_step_block(block, log_a: int, log_b: int, inverse: bool,
     b_loc = block.shape[1]
     dev = jax.lax.axis_index(axis)
 
-    # 1. length-A NTT down each local column (root ω^B = root_of_unity(log_a))
-    y = jax.vmap(lambda col: _ntt_graph(col, log_a, inverse),
-                 in_axes=1, out_axes=1)(block)
+    # 1. length-A NTT down each local column (root ω^B = root_of_unity(log_a));
+    # _ntt_graph batches over its leading axis, so put the columns there
+    y = jnp.swapaxes(
+        _ntt_graph(jnp.swapaxes(block, 0, 1), log_a, inverse), 0, 1
+    )
 
     # 2. twiddle ω^{b·c}: b global column id, c row id; b·c < N fits int32
     b_ids = dev * b_loc + jnp.arange(b_loc, dtype=jnp.int32)  # (B_loc,)
@@ -102,9 +104,8 @@ def _four_step_block(block, log_a: int, log_b: int, inverse: bool,
     # 3. the one exchange: reshard rows<->cols (tiled all_to_all over ICI)
     y = jax.lax.all_to_all(y, axis, split_axis=0, concat_axis=1, tiled=True)
 
-    # 4. length-B NTT along each local row (root ω^A)
-    return jax.vmap(lambda row: _ntt_graph(row, log_b, inverse),
-                    in_axes=0, out_axes=0)(y)
+    # 4. length-B NTT along each local row (root ω^A), rows batched natively
+    return _ntt_graph(y, log_b, inverse)
 
 
 @functools.lru_cache(maxsize=None)

@@ -48,12 +48,33 @@ def _mul_many(lhs, rhs):
     return tuple(out[i] for i in range(len(lhs)))
 
 
+def _pallas_point_dispatch(coords) -> bool:
+    """Route to the fused whole-formula Pallas kernel? Same policy as
+    ``vecfield._mont_mul``: pallas mode on, large static batch, not vmapped."""
+    if not vecfield._pallas_enabled():
+        return False
+    from jax._src.interpreters.batching import BatchTracer
+
+    if any(isinstance(c, BatchTracer) for c in coords):
+        return False
+    batch = jnp.broadcast_shapes(*[c.shape[:-1] for c in coords])
+    size = 1
+    for d in batch:
+        size *= d
+    return size >= vecfield._PALLAS_MIN_BATCH
+
+
 def point_add(p1, p2):
     """Complete projective addition (RCB15 algorithm 7, a=0).
 
     p = (X, Y, Z) tuple of (..., 16) arrays. 12 field muls, arranged as two
-    6-way batched mul layers (the formula's dependency depth is 2).
+    6-way batched mul layers (the formula's dependency depth is 2) — or ONE
+    fused Pallas kernel holding the whole formula for large batches.
     """
+    if _pallas_point_dispatch(tuple(p1) + tuple(p2)):
+        from . import pallas_g1
+
+        return pallas_g1.point_add_pallas(FQ, p1, p2)
     x1, y1, z1 = p1
     x2, y2, z2 = p2
     # layer 1: all pairwise products are independent
@@ -82,7 +103,11 @@ def point_add(p1, p2):
 
 def point_double(p):
     """Complete projective doubling (RCB15 algorithm 9, a=0). 7 muls in
-    three batched layers."""
+    three batched layers, or one fused Pallas kernel for large batches."""
+    if _pallas_point_dispatch(tuple(p)):
+        from . import pallas_g1
+
+        return pallas_g1.point_double_pallas(FQ, p)
     x, y, z = p
     t0, t1, t2, xy = _mul_many((y, y, z, x), (y, z, z, y))
     z3 = _add(FQ, t0, t0)

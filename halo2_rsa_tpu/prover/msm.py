@@ -193,8 +193,10 @@ def _bucket_reduce(buckets):
 
 
 def _window_combine(window_sums, window_bits: int):
-    """(W, 16) coords -> final point: Horner over windows, MSB window first."""
-    res = identity(())
+    """(P, W, 16) coords -> per-poly points (P, 16): Horner over windows,
+    MSB window first, the P axis batched through every add/double."""
+    p = window_sums[0].shape[0]
+    res = identity((p,))
 
     def step(res, x):
         res = jax.lax.fori_loop(
@@ -202,17 +204,36 @@ def _window_combine(window_sums, window_bits: int):
         )
         return point_add(res, x), None
 
-    xs = tuple(c[::-1] for c in window_sums)  # top window first
+    # (P, W, 16) -> (W, P, 16), top window first
+    xs = tuple(jnp.moveaxis(c[:, ::-1], 1, 0) for c in window_sums)
     res, _ = jax.lax.scan(step, res, xs)
     return res
 
 
 def _msm_one(sc, points, window_bits: int):
     """sc (N, 16); points tuple of (N, 16). Returns a coord tuple of (16,)."""
+    out = _msm_chunk(sc[None], points, window_bits)
+    return tuple(c[0] for c in out)
+
+
+def _msm_chunk(sc, points, window_bits: int):
+    """MSM over a chunk of the poly axis WITHOUT vmap: the poly axis is
+    folded into the Pippenger window axis, so every stage (sort, chunked
+    scans, bucket differencing, reduction) runs one explicitly-batched
+    pipeline of shape (PC*W, ...). Explicit batching keeps the fused
+    Pallas field kernels on their primary (non-vmapped) path and compiles
+    one graph per (PC, N, wb) size class.
+
+    sc (PC, N, 16); points shared tuple of (N, 16). Returns (PC, 16) coords.
+    """
+    pc = sc.shape[0]
     num_buckets = 1 << window_bits
-    digits = digits_from_scalar_limbs(sc, window_bits)  # (W, N)
-    buckets = _bucket_sums(digits, points, num_buckets)
-    sums = _bucket_reduce(buckets)
+    digits = digits_from_scalar_limbs(sc, window_bits)  # (PC, W, N)
+    w = digits.shape[1]
+    flat = digits.reshape(pc * w, digits.shape[2])
+    buckets = _bucket_sums(flat, points, num_buckets)  # (PC*W, B)
+    sums = _bucket_reduce(buckets)  # (PC*W, 16)
+    sums = tuple(c.reshape(pc, w, 16) for c in sums)
     return _window_combine(sums, window_bits)
 
 
@@ -223,13 +244,7 @@ def _msm_one_jit(sc, points, window_bits: int):
 
 @functools.partial(fjit, static_argnums=(2,))
 def _msm_chunk_jit(sc, points, window_bits: int):
-    """vmapped MSM over a fixed-size chunk of the poly axis.
-
-    sc (PC, N, 16); points shared tuple of (N, 16). One compiled graph per
-    (PC, N, wb) class; graph SIZE is identical to the single MSM (vmap only
-    widens batch dims), so compile time stays bounded while the poly axis
-    runs on-device instead of a host loop (VERDICT r2 weak #5)."""
-    return jax.vmap(lambda s: _msm_one(s, points, window_bits))(sc)
+    return _msm_chunk(sc, points, window_bits)
 
 
 def _pick_pchunk(n: int) -> int:

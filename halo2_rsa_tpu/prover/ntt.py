@@ -95,8 +95,12 @@ def _n_inv_mont(log_n: int):
 
 
 def _ntt_graph(a, log_n: int, inverse: bool):
+    """Batched Pease NTT: ``a`` (P, N, 16); the P axis is explicitly batched
+    through every butterfly (no vmap — keeps the fused Pallas field kernels
+    on their primary path and the twiddle plan shared across the batch)."""
     n = 1 << log_n
-    assert a.shape == (n, 16)
+    p = a.shape[0]
+    assert a.shape == (p, n, 16)
     if log_n == 0:
         return a
     h, lo_tab, hi_tab = _twiddle_tables(log_n, inverse)
@@ -107,16 +111,16 @@ def _ntt_graph(a, log_n: int, inverse: bool):
     lo_mask = jnp.int32((1 << h) - 1)
 
     def stage(t, x):
-        top = x[:half]
-        bot = x[half:]
+        top = x[:, :half]
+        bot = x[:, half:]
         e = (iota >> t) << t
         tw = _mont_mul(FR, hi_tab[e >> h], lo_tab[e & lo_mask])
         s = _add(FR, top, bot)
-        d = _mont_mul(FR, _sub(FR, top, bot), tw)
-        return jnp.stack([s, d], axis=1).reshape(n, 16)
+        d = _mont_mul(FR, _sub(FR, top, bot), tw[None])
+        return jnp.stack([s, d], axis=2).reshape(p, n, 16)
 
     a = jax.lax.fori_loop(0, log_n, stage, a)
-    a = a[_bitrev(log_n)]
+    a = a[:, _bitrev(log_n)]
     if inverse:
         a = _mont_mul(FR, a, jnp.broadcast_to(jnp.asarray(_n_inv_mont(log_n)), a.shape))
     return a
@@ -125,25 +129,25 @@ def _ntt_graph(a, log_n: int, inverse: bool):
 @functools.partial(fjit, static_argnums=(1,))
 def ntt(a, log_n: int):
     """Forward NTT. ``a`` (N, 16) Montgomery Fr limbs, N = 2^log_n."""
-    return _ntt_graph(a, log_n, False)
+    return _ntt_graph(a[None], log_n, False)[0]
 
 
 @functools.partial(fjit, static_argnums=(1,))
 def intt(a, log_n: int):
     """Inverse NTT (includes the 1/N scale)."""
-    return _ntt_graph(a, log_n, True)
+    return _ntt_graph(a[None], log_n, True)[0]
 
 
 @functools.partial(fjit, static_argnums=(1,))
 def ntt_batch(a, log_n: int):
     """Forward NTT over a batch: ``a`` (P, N, 16), one shared twiddle plan."""
-    return jax.vmap(lambda x: _ntt_graph(x, log_n, False))(a)
+    return _ntt_graph(a, log_n, False)
 
 
 @functools.partial(fjit, static_argnums=(1,))
 def intt_batch(a, log_n: int):
     """Inverse NTT over a batch: ``a`` (P, N, 16)."""
-    return jax.vmap(lambda x: _ntt_graph(x, log_n, True))(a)
+    return _ntt_graph(a, log_n, True)
 
 
 # --- host helpers -----------------------------------------------------------

@@ -518,7 +518,7 @@ def _round2_graph(wire_mont, id_vals, sigma_vals, num_tables: int, beta_m,
     )
     inv_a, inv_t = invs[:num_tables], invs[num_tables:]
     term = _vsub(FR, inv_a, _vmul(FR, m_mont, inv_t))
-    ps = jax.vmap(lambda v: vecfield.prefix_add(FR, v))(term)
+    ps = vecfield.prefix_add(FR, term)
     h_cols = jnp.concatenate(
         [jnp.zeros((num_tables, 1, 16), jnp.uint32), ps[:, :-1]], axis=1
     )

@@ -3,7 +3,11 @@
 (reference's only enabled bench: /root/reference/benches/bench.rs:369-377,
 1024-bit key, pre-hashed 32-byte message, k=15).
 
-Usage: time_flagship_prove.py [bits] [--json out.json]
+With ``--sha MSG_LEN`` the circuit includes the in-circuit SHA-256 of a
+MSG_LEN-byte message (the reference's disabled k=17/k=18 bench configs,
+bench.rs:349-367) and public inputs are n-limbs ++ digest bytes.
+
+Usage: time_flagship_prove.py [bits] [--sha MSG_LEN] [--json out.json]
 
 Phases: circuit build (trace), SRS setup, keygen, prove (cold+warm with the
 per-round witness/NTT/MSM/open breakdown from utils.profiling.Phases), verify.
@@ -11,6 +15,10 @@ Emits one JSON line on stdout with every number BASELINE.md's table needs.
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache"),
+)
 
 
 import json
@@ -31,32 +39,37 @@ import hashlib
 
 print(f"imports: {time.perf_counter()-t_import0:.1f}s", file=sys.stderr)
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
-bits = int(args[0]) if args else 1024
 json_out = None
-if "--json" in sys.argv:
-    json_out = sys.argv[sys.argv.index("--json") + 1]
+sha_len = None
+argv = sys.argv[1:]
+if "--json" in argv:
+    i = argv.index("--json")
+    json_out = argv[i + 1]
+    argv = argv[:i] + argv[i + 2 :]
+if "--sha" in argv:
+    i = argv.index("--sha")
+    sha_len = int(argv[i + 1])
+    argv = argv[:i] + argv[i + 2 :]
+args = [a for a in argv if not a.startswith("--")]
+bits = int(args[0]) if args else 1024
 
 rng = random.Random(7)
-msg = bytes(rng.randrange(256) for _ in range(32))
+msg = bytes(rng.randrange(256) for _ in range(sha_len if sha_len else 32))
 key = crsa.generate_private_key(public_exponent=DEFAULT_E, key_size=bits)
 n = key.public_key().public_numbers().n
 sig = int.from_bytes(key.sign(msg, cpad.PKCS1v15(), hashes.SHA256()), "big")
 digest = hashlib.sha256(msg).digest()
 
 t0 = time.perf_counter()
-b = Builder(BN254_FR)
-rsa_chip = RSAChip(b, bits, 5)
-pk_a = rsa_chip.assign_public_key(RSAPublicKey(n, RSAPubE.fix(DEFAULT_E)))
-sig_a = rsa_chip.assign_signature(RSASignature(sig))
-# hashed message as a 4-limb assigned integer (digest little-endian)
-hashed = rsa_chip.bigint_chip.assign_integer(
-    int.from_bytes(digest, "big"), num_limbs=4
-)
-is_valid = rsa_chip.verify_pkcs1v15_signature(pk_a, hashed, sig_a)
-rsa_chip.main_gate.assert_one(is_valid)
-for limb in pk_a.n.limbs:
-    b.expose_public(limb)
+from halo2_rsa_tpu.pipelines import Pkcs1v15Circuit
+
+if sha_len is not None:
+    circ = Pkcs1v15Circuit.build(bits, n, sig, msg=msg)
+else:
+    circ = Pkcs1v15Circuit.build(
+        bits, n, sig, hashed_msg=int.from_bytes(digest, "big")
+    )
+b = circ.builder
 t1 = time.perf_counter()
 print(f"trace build: {t1-t0:.2f}s  stats={b.stats()}", file=sys.stderr)
 
@@ -78,7 +91,7 @@ pk, vk = plonk.keygen(compiled, srs, k=k)
 t4 = time.perf_counter()
 print(f"keygen: {t4-t3:.2f}s", file=sys.stderr)
 
-pub = [(n >> (64 * i)) & ((1 << 64) - 1) for i in range(bits // 64)]
+pub = circ.public_inputs
 ph_cold = Phases()
 proof = plonk.prove(pk, b.values, pub, phases=ph_cold)
 t5 = time.perf_counter()
@@ -109,7 +122,11 @@ print(
 import jax
 
 result = {
-    "config": f"pkcs1v15_rsa{bits}_sha_disabled_k{k}",
+    "config": (
+        f"pkcs1v15_rsa{bits}_sha{sha_len}B_k{k}"
+        if sha_len is not None
+        else f"pkcs1v15_rsa{bits}_sha_disabled_k{k}"
+    ),
     "device": str(jax.devices()[0]),
     "k": k,
     "gates": int(compiled.num_gates),

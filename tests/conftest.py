@@ -21,3 +21,16 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """XLA:CPU segfaults in backend_compile after ~60+ accumulated compiled
+    executables in one process (reproducible at tests/test_sha256.py when the
+    full tier runs, absent in isolation). Dropping the jit caches between
+    modules bounds the accumulation; each module mostly compiles its own
+    shapes, so the recompile cost is small."""
+    yield
+    jax.clear_caches()

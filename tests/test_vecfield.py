@@ -119,3 +119,35 @@ def test_pallas_mont_mul_parity():
     import numpy as np
 
     assert (np.asarray(got) == np.asarray(want)).all()
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_pallas_point_add_double_parity():
+    """Fused Pallas G1 point-add/double kernels (interpret mode on CPU)
+    == the composed XLA formulas. Slow: interpret mode pays per-op
+    interpreter cost on the ~8k-op fused formula (~2 min on 2 CPUs); the
+    TPU smoke gate (scripts/tpu_smoke.py) covers the compiled path."""
+    import random
+
+    import numpy as np
+
+    from halo2_rsa_tpu.prover import curve, g1_vec, pallas_g1
+
+    rng = random.Random(7)
+    pts1 = [curve.g1_mul(curve.G1_GEN, rng.randrange(1, curve.R)) for _ in range(66)]
+    pts2 = [curve.g1_mul(curve.G1_GEN, rng.randrange(1, curve.R)) for _ in range(66)]
+    pts1[3] = None  # infinity lanes exercise formula completeness
+    pts2[5] = None
+    p1 = g1_vec.points_to_device(pts1)
+    p2 = g1_vec.points_to_device(pts2)
+    want = g1_vec.point_add(p1, p2)
+    got = pallas_g1.point_add_pallas(g1_vec.FQ, p1, p2, interpret=True)
+    for w, g in zip(want, got):
+        assert (np.asarray(w) == np.asarray(g)).all()
+    want_d = g1_vec.point_double(p1)
+    got_d = pallas_g1.point_double_pallas(g1_vec.FQ, p1, interpret=True)
+    for w, g in zip(want_d, got_d):
+        assert (np.asarray(w) == np.asarray(g)).all()
