@@ -23,6 +23,14 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 
+def _enable_cache():
+    # env alone is too late when sitecustomize pre-imports jax; config
+    # update works until the first compilation (utils/cache.py)
+    from halo2_rsa_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
+
 def bench_checker(out):
     """mul_mod-2048 constraint checks/s, batch 256 (BASELINE config #1)."""
     import numpy as np
@@ -190,6 +198,7 @@ def bench_flagship(out):
 def main():
     import jax
 
+    _enable_cache()
     detail = {"device": str(jax.devices()[0])}
     primary = None
     try:

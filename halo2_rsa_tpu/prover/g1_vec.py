@@ -174,10 +174,14 @@ def points_to_device(points) -> tuple:
 
 
 def points_from_device(p) -> list:
-    """Projective device arrays -> list of host affine points (or None)."""
-    xs = vecfield.to_ints(FQ, p[0])
-    ys = vecfield.to_ints(FQ, p[1])
-    zs = vecfield.to_ints(FQ, p[2])
+    """Projective device arrays -> list of host affine points (or None).
+
+    One stacked device->host transfer (a sync round trip costs ~25 ms on
+    tunneled setups; three per call tripled it)."""
+    stacked = np.asarray(jnp.stack([c.reshape(-1, 16) for c in p]))
+    xs = vecfield.to_ints(FQ, stacked[0])
+    ys = vecfield.to_ints(FQ, stacked[1])
+    zs = vecfield.to_ints(FQ, stacked[2])
     out = []
     for x, y, z in zip(xs, ys, zs):
         if z == 0:

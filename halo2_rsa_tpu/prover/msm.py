@@ -66,8 +66,11 @@ def digits_from_scalar_limbs(scalars, window_bits: int = 8):
 
 
 def _pick_chunk(n: int) -> int:
-    """Sequential chunk length C ~ sqrt(N), capped: C steps of depth vs
-    N/C-wide lanes."""
+    """Sequential chunk length C ~ sqrt(N), capped at 64: C sequential
+    launches of one fused point-add vs log2(N/C) FULL-WIDTH extra scan
+    levels over the chunk totals. Measured on v5e: C=16 regressed the
+    flagship (the scan levels do real work — halving C doubles them);
+    C=64 balances launch count against scan width."""
     c = 1 << max(2, (max(n, 2) - 1).bit_length() // 2)
     return min(c, 64)
 
@@ -249,7 +252,9 @@ def _msm_chunk_jit(sc, points, window_bits: int):
 
 def _pick_pchunk(n: int) -> int:
     """Polys per device dispatch: bound peak memory (the bucket pipeline
-    materializes ~W*N*3 coords per poly) while amortizing dispatches."""
+    materializes ~W*N*3 coords per poly, ~200 MB at N=2^15) while
+    amortizing dispatches. pc=8 at 2^15 measured SLOWER than 4 on v5e
+    (working set leaves the sweet spot) — keep 4."""
     if n <= 4096:
         return 8
     if n <= 1 << 15:

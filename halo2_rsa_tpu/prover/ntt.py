@@ -94,27 +94,71 @@ def _n_inv_mont(log_n: int):
     return vecfield.from_ints_np(FR, [pow(n, -1, R_MOD)], mont=True)[0]
 
 
-def _ntt_graph(a, log_n: int, inverse: bool):
+_TW_FULL_CACHE: dict = {}
+
+
+def _twiddles_full(log_n: int, inverse: bool):
+    """(log_n, N/2, 16) device tensor: stage t's butterfly twiddles
+    W^{(i >> t) << t}, built ONCE per (log_n, direction) from the two
+    sqrt-sized tables and cached on device (~150 MB at 2^18 — cheap HBM
+    rent vs. a twiddle-assembly mul + two gathers in EVERY stage of every
+    transform)."""
+    key = (log_n, inverse)
+    hit = _TW_FULL_CACHE.get(key)
+    if hit is not None:
+        return hit
+    h, lo_tab, hi_tab = _twiddle_tables(log_n, inverse)
+    half = 1 << (log_n - 1)
+    iota = np.arange(half, dtype=np.int64)
+    lo_tab = jnp.asarray(lo_tab)
+    hi_tab = jnp.asarray(hi_tab)
+
+    @functools.partial(fjit, static_argnums=())
+    def build(lo_t, hi_t):
+        rows = []
+        for t in range(log_n):
+            e = jnp.asarray((iota >> t) << t, dtype=jnp.int32)
+            rows.append(_mont_mul(FR, hi_t[e >> h], lo_t[e & ((1 << h) - 1)]))
+        return jnp.stack(rows)
+
+    tw = build(lo_tab, hi_tab)
+    _TW_FULL_CACHE[key] = tw
+    return tw
+
+
+def _ntt_graph(a, log_n: int, inverse: bool, tw_full=None):
     """Batched Pease NTT: ``a`` (P, N, 16); the P axis is explicitly batched
     through every butterfly (no vmap — keeps the fused Pallas field kernels
-    on their primary path and the twiddle plan shared across the batch)."""
+    on their primary path and the twiddle plan shared across the batch).
+    ``tw_full``: optional (log_n, N/2, 16) precomputed stage twiddles (see
+    :func:`_twiddles_full`); falls back to on-the-fly assembly from the
+    sqrt tables (used inside shard_map bodies where the full tensor would
+    be replicated per device)."""
     n = 1 << log_n
     p = a.shape[0]
     assert a.shape == (p, n, 16)
     if log_n == 0:
         return a
-    h, lo_tab, hi_tab = _twiddle_tables(log_n, inverse)
-    lo_tab = jnp.asarray(lo_tab)
-    hi_tab = jnp.asarray(hi_tab)
     half = n // 2
-    iota = jnp.arange(half, dtype=jnp.int32)
-    lo_mask = jnp.int32((1 << h) - 1)
+    if tw_full is None:
+        h, lo_tab, hi_tab = _twiddle_tables(log_n, inverse)
+        lo_tab = jnp.asarray(lo_tab)
+        hi_tab = jnp.asarray(hi_tab)
+        iota = jnp.arange(half, dtype=jnp.int32)
+        lo_mask = jnp.int32((1 << h) - 1)
+
+        def get_tw(t):
+            e = (iota >> t) << t
+            return _mont_mul(FR, hi_tab[e >> h], lo_tab[e & lo_mask])
+    else:
+
+        def get_tw(t):
+            return jax.lax.dynamic_index_in_dim(tw_full, t, keepdims=False)
 
     def stage(t, x):
         top = x[:, :half]
         bot = x[:, half:]
-        e = (iota >> t) << t
-        tw = _mont_mul(FR, hi_tab[e >> h], lo_tab[e & lo_mask])
+        tw = get_tw(t)
         s = _add(FR, top, bot)
         d = _mont_mul(FR, _sub(FR, top, bot), tw[None])
         return jnp.stack([s, d], axis=2).reshape(p, n, 16)
@@ -126,28 +170,29 @@ def _ntt_graph(a, log_n: int, inverse: bool):
     return a
 
 
-@functools.partial(fjit, static_argnums=(1,))
+@functools.partial(fjit, static_argnums=(1, 2))
+def _ntt_jit(a, log_n: int, inverse: bool, tw_full):
+    return _ntt_graph(a, log_n, inverse, tw_full)
+
+
 def ntt(a, log_n: int):
     """Forward NTT. ``a`` (N, 16) Montgomery Fr limbs, N = 2^log_n."""
-    return _ntt_graph(a[None], log_n, False)[0]
+    return _ntt_jit(a[None], log_n, False, _twiddles_full(log_n, False))[0]
 
 
-@functools.partial(fjit, static_argnums=(1,))
 def intt(a, log_n: int):
     """Inverse NTT (includes the 1/N scale)."""
-    return _ntt_graph(a[None], log_n, True)[0]
+    return _ntt_jit(a[None], log_n, True, _twiddles_full(log_n, True))[0]
 
 
-@functools.partial(fjit, static_argnums=(1,))
 def ntt_batch(a, log_n: int):
     """Forward NTT over a batch: ``a`` (P, N, 16), one shared twiddle plan."""
-    return _ntt_graph(a, log_n, False)
+    return _ntt_jit(a, log_n, False, _twiddles_full(log_n, False))
 
 
-@functools.partial(fjit, static_argnums=(1,))
 def intt_batch(a, log_n: int):
     """Inverse NTT over a batch: ``a`` (P, N, 16)."""
-    return _ntt_graph(a, log_n, True)
+    return _ntt_jit(a, log_n, True, _twiddles_full(log_n, True))
 
 
 # --- host helpers -----------------------------------------------------------

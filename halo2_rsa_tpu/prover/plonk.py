@@ -347,17 +347,25 @@ def keygen(compiled: CompiledCircuit, srs: kzg.SRS, k: int | None = None):
 
 
 @functools.partial(fjit, static_argnums=(1,))
-def _coset_eval_batch(polys, log_ext: int, scale):
+def _coset_eval_graph(polys, log_ext: int, scale, tw_fwd):
     """(P, L, 16) Montgomery coefficients -> evals on coset·H_ext (P, E, 16).
 
-    ``scale`` is the (L, 16) power series of the coset representative."""
+    ``scale`` is the (L, 16) power series of the coset representative;
+    ``tw_fwd`` the precomputed (log_ext, E/2, 16) stage twiddles."""
     p, l, _ = polys.shape
     n_ext = 1 << log_ext
     scaled = _vmul(FR, polys, scale[None])
     padded = jnp.concatenate(
         [scaled, jnp.zeros((p, n_ext - l, 16), jnp.uint32)], axis=1
     )
-    return ntt.ntt_batch(padded, log_ext)
+    return ntt._ntt_graph(padded, log_ext, False, tw_fwd)
+
+
+def _coset_eval_batch(polys, log_ext: int, scale):
+    """Eager wrapper: fetches the cached twiddle tensor, then runs the
+    jitted graph (the tensor must enter as an argument — fetching it inside
+    a trace would cache a tracer)."""
+    return _coset_eval_graph(polys, log_ext, scale, ntt._twiddles_full(log_ext, False))
 
 
 @fjit
@@ -467,16 +475,35 @@ def _open_with_tail(pk: ProvingKey, coeffs_pad, z: int):
 
     Quotient via the device suffix-scan; head committed with an n-MSM, the
     ≤BLIND+… tail coefficients via host fixed-base adds. Returns (value, π)."""
-    q_mont, v = kzg.quotient_poly(coeffs_pad, z)
-    n = coeffs_pad.shape[0] - BLIND
-    head_std = vecfield.from_mont(FR, q_mont[:n])
-    pt = msm.msm(head_std, tuple(c[:n] for c in pk.srs.g1_powers))
-    acc = g1_vec.points_from_device(tuple(c[None] for c in pt))[0]
-    tail = vecfield.to_ints(FR, q_mont[n:], mont=True)
-    for j, bj in enumerate(tail):
-        if bj:
-            acc = curve.g1_add(acc, curve.g1_mul(pk.g1_tail[j], bj))
+    (v, acc), = _open_many(pk, [(coeffs_pad, z)])
     return v, acc
+
+
+def _open_many(pk: ProvingKey, polys_points):
+    """Batched KZG openings: [(coeffs_pad, z), ...] -> [(value, π), ...].
+
+    All quotient heads commit in ONE batched MSM and all tails convert in
+    one host transfer — GWC's two openings (x and ωx) share one device
+    round instead of two."""
+    n = polys_points[0][0].shape[0] - BLIND
+    qs, vals = [], []
+    for coeffs_pad, z in polys_points:
+        q_mont, v = kzg.quotient_poly(coeffs_pad, z)
+        qs.append(q_mont)
+        vals.append(v)
+    q_all = jnp.stack(qs)
+    heads_std = vecfield.from_mont(FR, q_all[:, :n])
+    pts = msm.msm_many(heads_std, tuple(c[:n] for c in pk.srs.g1_powers))
+    accs = g1_vec.points_from_device(pts)
+    tails = vecfield.to_ints(FR, q_all[:, n:].reshape(-1, 16), mont=True)
+    out = []
+    for i, acc in enumerate(accs):
+        for j in range(BLIND):
+            bj = tails[i * BLIND + j]
+            if bj:
+                acc = curve.g1_add(acc, curve.g1_mul(pk.g1_tail[j], bj))
+        out.append((vals[i], acc))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -530,7 +557,8 @@ def _round3_graph(log_ext: int, num_wires: int, num_tables: int,
                   wire_polys, m_polys, z_poly, h_polys, pi_poly,
                   fixed_ext, sigma_ext, table_ext, l0_ext, x_ext, van_inv,
                   coset_scale, omega_scale, cinv_scale,
-                  alpha_pows, beta_m, gamma_m, beta_lk_m, kw_beta):
+                  alpha_pows, beta_m, gamma_m, beta_lk_m, kw_beta,
+                  tw_fwd, tw_inv):
     """The quotient polynomial t (coefficient form, (n_ext, 16)).
 
     All committed polys arrive in (padded) coefficient form; the identity
@@ -546,7 +574,7 @@ def _round3_graph(log_ext: int, num_wires: int, num_tables: int,
         stack = [wire_polys, m_polys, z_poly[None], z_shift[None],
                  h_polys, h_shift, pi_poly[None]]
     big = jnp.concatenate(stack, axis=0)
-    big_ext = _coset_eval_batch(big, log_ext, coset_scale)
+    big_ext = _coset_eval_graph(big, log_ext, coset_scale, tw_fwd)
 
     pos = 0
     wire_ext = big_ext[pos : pos + num_wires]; pos += num_wires
@@ -602,7 +630,7 @@ def _round3_graph(log_ext: int, num_wires: int, num_tables: int,
         acc = _vadd(FR, acc, _vmul(FR, alpha_pows[ap][None], i_h0)); ap += 1
 
     t_ext = _vmul(FR, acc, van_inv)
-    t_coeffs = ntt.intt(t_ext, log_ext)
+    t_coeffs = ntt._ntt_graph(t_ext[None], log_ext, True, tw_inv)[0]
     return _vmul(FR, t_coeffs, cinv_scale)
 
 
@@ -726,6 +754,8 @@ def prove(pk: ProvingKey, witness, public_inputs: list[int],
             pk.l0_ext, pk.x_ext, pk.van_inv,
             coset_scale, omega_scale, cinv_scale,
             alpha_pows, beta_m, gamma_m, beta_lk_m, kw_beta,
+            ntt._twiddles_full(log_ext, False),
+            ntt._twiddles_full(log_ext, True),
         )
         # split into degree-<n pieces; for an honest witness everything
         # above (num_wires+2)·n is zero (truncation mirrors create_proof,
@@ -772,23 +802,18 @@ def prove(pk: ProvingKey, witness, public_inputs: list[int],
     with ph.phase("round5_open"):
         vp_x = vecfield.pow_series(FR, v, polys_x.shape[0])
         f_x = _fold_graph(polys_x, vp_x)
-        val_x, pi_x = _open_with_tail(pk, f_x, x)
-        want_x = 0
-        vpow = 1
-        for e in evals_x:
-            want_x = (want_x + vpow * e) % R
-            vpow = vpow * v % R
-        assert val_x == want_x, "fold/eval mismatch at x"
-
         vp_w = vecfield.pow_series(FR, v, polys_w.shape[0])
         f_w = _fold_graph(polys_w, vp_w)
-        val_w, pi_w = _open_with_tail(pk, f_w, xw)
-        want_w = 0
-        vpow = 1
-        for e in evals_w:
-            want_w = (want_w + vpow * e) % R
-            vpow = vpow * v % R
-        assert val_w == want_w, "fold/eval mismatch at omega·x"
+        (val_x, pi_x), (val_w, pi_w) = _open_many(
+            pk, [(f_x, x), (f_w, xw)]
+        )
+        for val, evs, tag in ((val_x, evals_x, "x"), (val_w, evals_w, "omega·x")):
+            want = 0
+            vpow = 1
+            for e in evs:
+                want = (want + vpow * e) % R
+                vpow = vpow * v % R
+            assert val == want, f"fold/eval mismatch at {tag}"
 
     t.write_point(pi_x)
     t.write_point(pi_w)

@@ -17,6 +17,17 @@ import random
 import sys
 import time
 
+# force the virtual CPU mesh even when the ambient env pins the tunneled
+# TPU (sitecustomize initializes the axon platform before env vars apply)
+_os.environ["JAX_PLATFORMS"] = "cpu"
+if "xla_force_host_platform_device_count" not in _os.environ.get("XLA_FLAGS", ""):
+    _os.environ["XLA_FLAGS"] = (
+        _os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 
 def main():
     import jax

@@ -9,10 +9,9 @@ Usage: python scripts/profile_prove.py [bits]
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
-_os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache"),
-)
+from halo2_rsa_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
 
 import collections
 import functools
@@ -104,6 +103,12 @@ def main():
     wrap(g1_vec, "points_from_device", "host.points_from_device")
 
     from halo2_rsa_tpu.utils.profiling import Phases
+
+    # pass 1 compiles the tiny per-shape sync graphs the instrumentation
+    # adds; only pass 2's attribution is clean
+    plonk.prove(pk, circ.builder.values, circ.public_inputs)
+    TIMES.clear()
+    COUNTS.clear()
 
     ph = Phases()
     t0 = time.perf_counter()

@@ -15,10 +15,9 @@ Emits one JSON line on stdout with every number BASELINE.md's table needs.
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
-_os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache"),
-)
+from halo2_rsa_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
 
 
 import json

@@ -9,10 +9,9 @@ Usage: python scripts/tpu_smoke.py          (~2-5 min warm)
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(_sys.argv[0] if __name__ == "__main__" else __file__))))
-_os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    _os.path.join(_sys.path[0], ".jax_cache"),
-)
+from halo2_rsa_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
 
 import random
 import time

@@ -22,6 +22,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the 2-core host spends most of the tier's wall
+# time in XLA:CPU compiles; cached executables make re-runs warm. Must go
+# through jax.config (sitecustomize pre-imports jax, so env is too late).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+
 import pytest  # noqa: E402
 
 
