@@ -219,16 +219,17 @@ def _msm_one(sc, points, window_bits: int):
     return tuple(c[0] for c in out)
 
 
-def _msm_chunk(sc, points, window_bits: int):
-    """MSM over a chunk of the poly axis WITHOUT vmap: the poly axis is
-    folded into the Pippenger window axis, so every stage (sort, chunked
-    scans, bucket differencing, reduction) runs one explicitly-batched
-    pipeline of shape (PC*W, ...). Explicit batching keeps the fused
-    Pallas field kernels on their primary (non-vmapped) path and compiles
-    one graph per (PC, N, wb) size class.
+def _msm_chunk_sums(sc, points, window_bits: int):
+    """Per-window sums for a chunk of the poly axis WITHOUT vmap: the poly
+    axis is folded into the Pippenger window axis, so every stage (sort,
+    chunked scans, bucket differencing, reduction) runs one explicitly-
+    batched pipeline of shape (PC*W, ...). Explicit batching keeps the
+    fused Pallas field kernels on their primary (non-vmapped) path and
+    compiles one graph per (PC, N, wb) size class.
 
-    sc (PC, N, 16); points shared tuple of (N, 16). Returns (PC, 16) coords.
-    """
+    sc (PC, N, 16); points shared tuple of (N, 16). Returns (PC, W, 16)
+    coords (window sums — Horner-combined separately, so point-axis
+    SEGMENTS of a large MSM can accumulate window sums first)."""
     pc = sc.shape[0]
     num_buckets = 1 << window_bits
     digits = digits_from_scalar_limbs(sc, window_bits)  # (PC, W, N)
@@ -236,8 +237,12 @@ def _msm_chunk(sc, points, window_bits: int):
     flat = digits.reshape(pc * w, digits.shape[2])
     buckets = _bucket_sums(flat, points, num_buckets)  # (PC*W, B)
     sums = _bucket_reduce(buckets)  # (PC*W, 16)
-    sums = tuple(c.reshape(pc, w, 16) for c in sums)
-    return _window_combine(sums, window_bits)
+    return tuple(c.reshape(pc, w, 16) for c in sums)
+
+
+def _msm_chunk(sc, points, window_bits: int):
+    """sc (PC, N, 16); points shared tuple of (N, 16) -> (PC, 16) coords."""
+    return _window_combine(_msm_chunk_sums(sc, points, window_bits), window_bits)
 
 
 @functools.partial(fjit, static_argnums=(2,))
@@ -248,6 +253,27 @@ def _msm_one_jit(sc, points, window_bits: int):
 @functools.partial(fjit, static_argnums=(2,))
 def _msm_chunk_jit(sc, points, window_bits: int):
     return _msm_chunk(sc, points, window_bits)
+
+
+@functools.partial(fjit, static_argnums=(2,))
+def _msm_chunk_sums_jit(sc, points, window_bits: int):
+    return _msm_chunk_sums(sc, points, window_bits)
+
+
+@functools.partial(fjit, static_argnums=(1,))
+def _window_combine_jit(window_sums, window_bits: int):
+    return _window_combine(window_sums, window_bits)
+
+
+@fjit
+def _point_add_jit(p1, p2):
+    return point_add(p1, p2)
+
+
+# Point-axis segment size for large MSMs: the bucket pipeline gathers
+# ~3·W·Nseg coordinate rows (1.6 GB at 2^15, W=32); N=2^18 unsegmented
+# needs ~13 GB and OOMs a 16 GB chip alongside the proving key.
+_SEG = 1 << 15
 
 
 def _pick_pchunk(n: int) -> int:
@@ -282,6 +308,31 @@ def msm_many(scalars, points):
         points = tuple(
             jnp.concatenate([c, ic], axis=0) for c, ic in zip(points, ident)
         )
+    if npow > _SEG:
+        # point-axis segmentation: each 2^15 segment runs the standard
+        # pipeline (reusing its compiled size class), window sums
+        # accumulate with one batched EC add per segment, one Horner at
+        # the end — work-optimal and memory-bounded
+        wb = _window_bits_for(_SEG)
+        pc = _pick_pchunk(_SEG)
+        chunks = []
+        for i in range(0, p, pc):
+            sc = scalars[i : i + pc]
+            if sc.shape[0] < pc:
+                sc = jnp.concatenate(
+                    [sc, jnp.zeros((pc - sc.shape[0], npow, 16), jnp.uint32)],
+                    axis=0,
+                )
+            sums = None
+            for s in range(0, npow, _SEG):
+                pts_seg = tuple(c[s : s + _SEG] for c in points)
+                seg = _msm_chunk_sums_jit(sc[:, s : s + _SEG], pts_seg, wb)
+                sums = seg if sums is None else _point_add_jit(sums, seg)
+            chunks.append(_window_combine_jit(sums, wb))
+        res = tuple(
+            jnp.concatenate([ch[c] for ch in chunks], axis=0) for c in range(3)
+        )
+        return tuple(c[:p] for c in res)
     wb = _window_bits_for(npow)
     pc = _pick_pchunk(npow)
     if p == 1:

@@ -346,6 +346,13 @@ def keygen(compiled: CompiledCircuit, srs: kzg.SRS, k: int | None = None):
 # ---------------------------------------------------------------------------
 
 
+# Poly-axis chunk for big extended-domain NTT batches: a (P, E, 16) batch
+# holds ~3 live copies inside the transform, and at E = 2^22 (k=18 SHA
+# configs) an unchunked P=20 batch transiently needs ~34 GB. 4-poly chunks
+# bound the transient at ~3 GB while the output accumulates in place.
+_COSET_CHUNK = 4
+
+
 @functools.partial(fjit, static_argnums=(1,))
 def _coset_eval_graph(polys, log_ext: int, scale, tw_fwd):
     """(P, L, 16) Montgomery coefficients -> evals on coset·H_ext (P, E, 16).
@@ -355,10 +362,22 @@ def _coset_eval_graph(polys, log_ext: int, scale, tw_fwd):
     p, l, _ = polys.shape
     n_ext = 1 << log_ext
     scaled = _vmul(FR, polys, scale[None])
-    padded = jnp.concatenate(
-        [scaled, jnp.zeros((p, n_ext - l, 16), jnp.uint32)], axis=1
-    )
-    return ntt._ntt_graph(padded, log_ext, False, tw_fwd)
+    if p <= _COSET_CHUNK or (p << log_ext) <= (1 << 22):
+        padded = jnp.concatenate(
+            [scaled, jnp.zeros((p, n_ext - l, 16), jnp.uint32)], axis=1
+        )
+        return ntt._ntt_graph(padded, log_ext, False, tw_fwd)
+    out = jnp.zeros((p, n_ext, 16), jnp.uint32)
+    for i in range(0, p, _COSET_CHUNK):
+        chunk = scaled[i : i + _COSET_CHUNK]
+        cpad = jnp.concatenate(
+            [chunk, jnp.zeros((chunk.shape[0], n_ext - l, 16), jnp.uint32)],
+            axis=1,
+        )
+        out = jax.lax.dynamic_update_slice_in_dim(
+            out, ntt._ntt_graph(cpad, log_ext, False, tw_fwd), i, axis=0
+        )
+    return out
 
 
 def _coset_eval_batch(polys, log_ext: int, scale):
@@ -595,20 +614,22 @@ def _round3_graph(log_ext: int, num_wires: int, num_tables: int,
     gate = _vadd(FR, gate, fixed_ext[7])
     gate = _vadd(FR, gate, pi_ext)
 
-    # permutation identities
+    # permutation identities — per-wire streaming keeps live temporaries at
+    # O(E) instead of O(num_wires·E) (at E=2^22 the batched form's
+    # (num_wires, E, 16) products alone are ~2 GB each)
     one_ext = jnp.broadcast_to(jnp.asarray(FR.r_limbs), (n_ext, 16))
     i_z1 = _vmul(FR, l0_ext, _vsub(FR, z_ext, one_ext))
-    term_n = _vadd(
-        FR, wire_ext, _vadd(FR, _vmul(FR, kw_beta[:, None, :], x_ext[None]), gamma_m)
-    )
-    term_d = _vadd(
-        FR, wire_ext, _vadd(FR, _vmul(FR, beta_m, sigma_ext), gamma_m)
-    )
-    pnum = term_n[0]
-    pden = term_d[0]
-    for w in range(1, num_wires):
-        pnum = vecfield._mont_mul(FR, pnum, term_n[w])
-        pden = vecfield._mont_mul(FR, pden, term_d[w])
+    pnum = None
+    pden = None
+    for w in range(num_wires):
+        t_n = _vadd(
+            FR, wire_ext[w], _vadd(FR, _vmul(FR, kw_beta[w], x_ext), gamma_m)
+        )
+        t_d = _vadd(
+            FR, wire_ext[w], _vadd(FR, _vmul(FR, beta_m, sigma_ext[w]), gamma_m)
+        )
+        pnum = t_n if pnum is None else vecfield._mont_mul(FR, pnum, t_n)
+        pden = t_d if pden is None else vecfield._mont_mul(FR, pden, t_d)
     i_z2 = _vsub(FR, _vmul(FR, z_ext, pnum), _vmul(FR, zw_ext, pden))
 
     ap = 0

@@ -79,3 +79,21 @@ def test_msm_edge_scalars():
     want = msm.msm_host(scalars, points)
     got = msm.run_msm(scalars, points)
     assert got == want
+
+
+def test_msm_point_axis_segmentation(monkeypatch):
+    """The large-N segment path (window sums accumulated across point-axis
+    segments, one Horner at the end) is bit-identical to the direct path —
+    exercised at a tiny _SEG so CPU covers the TPU large-N structure."""
+    import random
+
+    from halo2_rsa_tpu.prover import curve, msm
+
+    rng = random.Random(21)
+    n = 256
+    pts = [curve.g1_mul(curve.G1_GEN, rng.randrange(1, curve.R)) for _ in range(n)]
+    scalars = [rng.randrange(curve.R) for _ in range(n)]
+    want = msm.run_msm(scalars, pts)
+    monkeypatch.setattr(msm, "_SEG", 64)
+    got = msm.run_msm(scalars, pts)
+    assert got == want == msm.msm_host(scalars, pts)
