@@ -314,7 +314,9 @@ def msm_many(scalars, points):
         # accumulate with one batched EC add per segment, one Horner at
         # the end — work-optimal and memory-bounded
         wb = _window_bits_for(_SEG)
-        pc = _pick_pchunk(_SEG)
+        # half the usual poly chunk: segmented MSMs run beside a large
+        # resident proving key (the reason they're segmented at all)
+        pc = max(1, _pick_pchunk(_SEG) // 2)
         chunks = []
         for i in range(0, p, pc):
             sc = scalars[i : i + pc]

@@ -271,6 +271,7 @@ def keygen(compiled: CompiledCircuit, srs: kzg.SRS, k: int | None = None):
     fixed_ext = all_ext[:8]
     sigma_ext = all_ext[8 : 8 + num_wires]
     table_ext = all_ext[8 + num_wires :] if num_tables else None
+    del all_ext  # slices above are copies; the parent is ~5 GB at k=18
 
     # L0 / X / 1/(X^n−1) on the extended coset
     n_ext = 1 << log_ext
@@ -297,6 +298,9 @@ def keygen(compiled: CompiledCircuit, srs: kzg.SRS, k: int | None = None):
     )
 
     # --- verifying-key commitments (one batched MSM over all columns) ----
+    # drop eval-form temporaries first: at k=18 the extended arrays already
+    # hold ~5 GB and the commit MSM needs its own working set
+    del stack, all_vals, fixed_vals, coef_rows
     comms = _commit_batch(srs, all_polys)
     fixed_commitments = comms[:8]
     sigma_commitments = comms[8 : 8 + num_wires]
