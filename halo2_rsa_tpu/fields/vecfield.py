@@ -61,7 +61,12 @@ def _pallas_enabled() -> bool:
     Defaults to on for the TPU backend (the kernel keeps the whole CIOS in
     VMEM — one HBM round trip instead of one per step); off elsewhere (the
     XLA path is what the CPU test mesh exercises). HALO2_RSA_TPU_PALLAS=0/1
-    overrides."""
+    overrides.
+
+    Read ONCE at the first field op and cached for the process lifetime;
+    flipping the env var afterwards is ignored. Tests that need to exercise
+    the other path must call ``_pallas_enabled.cache_clear()`` (and clear jit
+    caches) after setting the env var."""
     env = os.environ.get("HALO2_RSA_TPU_PALLAS", "")
     if env in ("0", "false"):
         return False
@@ -90,7 +95,10 @@ def _pallas_dispatch(a, b) -> bool:
     vmap transforms soundly)."""
     if not _pallas_enabled():
         return False
-    from jax._src.interpreters.batching import BatchTracer
+    try:
+        from jax._src.interpreters.batching import BatchTracer
+    except ImportError:  # private path moved in a JAX upgrade: XLA fallback
+        return False
 
     if isinstance(a, BatchTracer) or isinstance(b, BatchTracer):
         return False

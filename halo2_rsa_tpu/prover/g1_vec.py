@@ -53,7 +53,10 @@ def _pallas_point_dispatch(coords) -> bool:
     ``vecfield._mont_mul``: pallas mode on, large static batch, not vmapped."""
     if not vecfield._pallas_enabled():
         return False
-    from jax._src.interpreters.batching import BatchTracer
+    try:
+        from jax._src.interpreters.batching import BatchTracer
+    except ImportError:  # private path moved in a JAX upgrade: XLA fallback
+        return False
 
     if any(isinstance(c, BatchTracer) for c in coords):
         return False

@@ -96,13 +96,27 @@ def _n_inv_mont(log_n: int):
 
 _TW_FULL_CACHE: dict = {}
 
+# Above this size the full stage-twiddle tensor stops being cheap HBM rent:
+# at log_n=22 it is ~2.9 GB *per direction* (log_n * N/2 * 16 * 4 bytes), and
+# the prover needs both directions for round 3 — beside a resident proving
+# key that is exactly the k=18 OOM ef53871 fought. Fall back to on-the-fly
+# sqrt-table assembly there (one extra mont_mul + two gathers per stage).
+_TW_FULL_MAX_LOG_N = 20
+
 
 def _twiddles_full(log_n: int, inverse: bool):
     """(log_n, N/2, 16) device tensor: stage t's butterfly twiddles
     W^{(i >> t) << t}, built ONCE per (log_n, direction) from the two
     sqrt-sized tables and cached on device (~150 MB at 2^18 — cheap HBM
     rent vs. a twiddle-assembly mul + two gathers in EVERY stage of every
-    transform)."""
+    transform). Returns None above _TW_FULL_MAX_LOG_N (memory) or under an
+    active trace (a cached tracer would poison every later eager call)."""
+    if log_n > _TW_FULL_MAX_LOG_N:
+        return None
+    from jax._src.core import trace_state_clean
+
+    if not trace_state_clean():
+        return None
     key = (log_n, inverse)
     hit = _TW_FULL_CACHE.get(key)
     if hit is not None:

@@ -447,20 +447,53 @@ def _rand_blind(num_polys: int, rng) -> jnp.ndarray:
     return jnp.asarray(arr.reshape(num_polys, BLIND, 16))
 
 
-def _commit_batch(srs: kzg.SRS, polys_mont) -> list:
+class LocalKernels:
+    """Single-device kernel provider: the default compute backend of
+    :func:`prove`. A mesh-sharded implementation with the same interface
+    (collective NTT stage exchange, points-partitioned MSM) lives in
+    ``parallel.mesh_prove.MeshKernels`` — both produce byte-identical
+    proofs (exact field arithmetic, same algorithm order)."""
+
+    def intt_batch(self, vals, k: int):
+        return ntt.intt_batch(vals, k)
+
+    def msm_many(self, scalars, points):
+        return msm.msm_many(scalars, points)
+
+    def round3_t(self, pk: "ProvingKey", num_tables: int, wire_polys,
+                 m_polys, z_poly, h_polys, pi_poly, table_ext, coset_scale,
+                 omega_scale, cinv_scale, alpha_pows, beta_m, gamma_m,
+                 beta_lk_m, kw_beta):
+        return _round3_graph(
+            pk.log_ext, pk.vk.num_wires, num_tables,
+            wire_polys, m_polys, z_poly, h_polys, pi_poly,
+            pk.fixed_ext, pk.sigma_ext, table_ext,
+            pk.l0_ext, pk.x_ext, pk.van_inv,
+            coset_scale, omega_scale, cinv_scale,
+            alpha_pows, beta_m, gamma_m, beta_lk_m, kw_beta,
+            ntt._twiddles_full(pk.log_ext, False),
+            ntt._twiddles_full(pk.log_ext, True),
+        )
+
+
+_LOCAL_KERNELS = LocalKernels()
+
+
+def _commit_batch(srs: kzg.SRS, polys_mont, kern=None) -> list:
     """Commit (P, L, 16) Montgomery coefficient polys: one batched MSM."""
+    kern = kern or _LOCAL_KERNELS
     l = polys_mont.shape[1]
     std = vecfield.from_mont(FR, polys_mont)
     pts = tuple(c[:l] for c in srs.g1_powers)
-    return g1_vec.points_from_device(msm.msm_many(std, pts))
+    return g1_vec.points_from_device(kern.msm_many(std, pts))
 
 
-def _commit_blinded_batch(pk: ProvingKey, polys_pad) -> list:
+def _commit_blinded_batch(pk: ProvingKey, polys_pad, kern=None) -> list:
     """Commit (P, n+BLIND, 16) blinded polys: batched n-MSM for the heads +
     host fixed-base adds of the ≤BLIND tail coefficients against the
     precomputed [τ^{n+j}]G1 points."""
     n = polys_pad.shape[1] - BLIND
-    heads = _commit_batch(pk.srs, polys_pad[:, :n])
+    heads = _commit_batch(pk.srs, polys_pad[:, :n], kern)
     tails = vecfield.to_ints(FR, polys_pad[:, n:], mont=True)
     out = []
     for i, h in enumerate(heads):
@@ -502,12 +535,13 @@ def _open_with_tail(pk: ProvingKey, coeffs_pad, z: int):
     return v, acc
 
 
-def _open_many(pk: ProvingKey, polys_points):
+def _open_many(pk: ProvingKey, polys_points, kern=None):
     """Batched KZG openings: [(coeffs_pad, z), ...] -> [(value, π), ...].
 
     All quotient heads commit in ONE batched MSM and all tails convert in
     one host transfer — GWC's two openings (x and ωx) share one device
     round instead of two."""
+    kern = kern or _LOCAL_KERNELS
     n = polys_points[0][0].shape[0] - BLIND
     qs, vals = [], []
     for coeffs_pad, z in polys_points:
@@ -516,7 +550,7 @@ def _open_many(pk: ProvingKey, polys_points):
         vals.append(v)
     q_all = jnp.stack(qs)
     heads_std = vecfield.from_mont(FR, q_all[:, :n])
-    pts = msm.msm_many(heads_std, tuple(c[:n] for c in pk.srs.g1_powers))
+    pts = kern.msm_many(heads_std, tuple(c[:n] for c in pk.srs.g1_powers))
     accs = g1_vec.points_from_device(pts)
     tails = vecfield.to_ints(FR, q_all[:, n:].reshape(-1, 16), mont=True)
     out = []
@@ -575,30 +609,32 @@ def _round2_graph(wire_mont, id_vals, sigma_vals, num_tables: int, beta_m,
     return z_col, h_cols
 
 
-@functools.partial(fjit, static_argnums=(0, 1, 2))
-def _round3_graph(log_ext: int, num_wires: int, num_tables: int,
-                  wire_polys, m_polys, z_poly, h_polys, pi_poly,
-                  fixed_ext, sigma_ext, table_ext, l0_ext, x_ext, van_inv,
-                  coset_scale, omega_scale, cinv_scale,
-                  alpha_pows, beta_m, gamma_m, beta_lk_m, kw_beta,
-                  tw_fwd, tw_inv):
-    """The quotient polynomial t (coefficient form, (n_ext, 16)).
-
-    All committed polys arrive in (padded) coefficient form; the identity
-    algebra runs on the extended coset; the result is interpolated back and
-    scaled off the coset."""
-    n_ext = 1 << log_ext
-    nt = num_tables
-
+def _round3_stack(num_tables: int, wire_polys, m_polys, z_poly, h_polys,
+                  pi_poly, omega_scale):
+    """Stack every polynomial round 3 needs on the extended coset (committed
+    polys in padded coefficient form + the ω-shifted Z/h variants)."""
     z_shift = _vmul(FR, z_poly, omega_scale)
     stack = [wire_polys, z_poly[None], z_shift[None], pi_poly[None]]
-    if nt:
+    if num_tables:
         h_shift = _vmul(FR, h_polys, omega_scale[None])
         stack = [wire_polys, m_polys, z_poly[None], z_shift[None],
                  h_polys, h_shift, pi_poly[None]]
-    big = jnp.concatenate(stack, axis=0)
-    big_ext = _coset_eval_graph(big, log_ext, coset_scale, tw_fwd)
+    return jnp.concatenate(stack, axis=0)
 
+
+def _quotient_ident_ext(num_wires: int, num_tables: int, big_ext,
+                        fixed_ext, sigma_ext, table_ext, l0_ext, x_ext,
+                        van_inv, alpha_pows, beta_m, gamma_m, beta_lk_m,
+                        kw_beta):
+    """Evaluate the alpha-folded PLONK identities on the extended coset.
+
+    ``big_ext``: the :func:`_round3_stack` polys evaluated on the coset,
+    (P, n_ext, 16). Pure graph function — shared verbatim by the fused
+    single-device round-3 jit and the mesh-sharded round 3 (every op is
+    elementwise over the n_ext axis, so GSPMD row-shards it for free).
+    Returns t_ext = (folded identities) / (X^n − 1) on the coset."""
+    n_ext = big_ext.shape[1]
+    nt = num_tables
     pos = 0
     wire_ext = big_ext[pos : pos + num_wires]; pos += num_wires
     if nt:
@@ -654,20 +690,56 @@ def _round3_graph(log_ext: int, num_wires: int, num_tables: int,
         i_h0 = _vmul(FR, l0_ext, h_ext[t])
         acc = _vadd(FR, acc, _vmul(FR, alpha_pows[ap][None], i_h0)); ap += 1
 
-    t_ext = _vmul(FR, acc, van_inv)
+    return _vmul(FR, acc, van_inv)
+
+
+@functools.partial(fjit, static_argnums=(0, 1, 2))
+def _round3_graph(log_ext: int, num_wires: int, num_tables: int,
+                  wire_polys, m_polys, z_poly, h_polys, pi_poly,
+                  fixed_ext, sigma_ext, table_ext, l0_ext, x_ext, van_inv,
+                  coset_scale, omega_scale, cinv_scale,
+                  alpha_pows, beta_m, gamma_m, beta_lk_m, kw_beta,
+                  tw_fwd, tw_inv):
+    """The quotient polynomial t (coefficient form, (n_ext, 16)).
+
+    All committed polys arrive in (padded) coefficient form; the identity
+    algebra runs on the extended coset; the result is interpolated back and
+    scaled off the coset."""
+    big = _round3_stack(num_tables, wire_polys, m_polys, z_poly, h_polys,
+                        pi_poly, omega_scale)
+    big_ext = _coset_eval_graph(big, log_ext, coset_scale, tw_fwd)
+    t_ext = _quotient_ident_ext(
+        num_wires, num_tables, big_ext, fixed_ext, sigma_ext, table_ext,
+        l0_ext, x_ext, van_inv, alpha_pows, beta_m, gamma_m, beta_lk_m,
+        kw_beta,
+    )
     t_coeffs = ntt._ntt_graph(t_ext[None], log_ext, True, tw_inv)[0]
     return _vmul(FR, t_coeffs, cinv_scale)
 
 
 def prove(pk: ProvingKey, witness, public_inputs: list[int],
-          rng=None, phases=None) -> bytes:
+          rng=None, phases=None, mesh=None, kern=None) -> bytes:
     """Produce a zero-knowledge proof for the trace with the given witness.
 
     ``witness``: list of Python ints or a (W, 16) uint32 standard-form limb
     array. ``public_inputs`` must match the exposed instance cells.
     ``rng``: optional random.Random for reproducible blinding (tests);
-    defaults to OS entropy. ``phases``: optional utils.profiling.Phases."""
+    defaults to OS entropy. ``phases``: optional utils.profiling.Phases.
+    ``mesh``: optional jax.sharding.Mesh — runs the heavy kernels (column
+    iNTTs, coset NTT quotient, commitment/opening MSMs) sharded over the
+    mesh's 'rows' axis (collective all_to_all NTT stages, points-partitioned
+    MSM with EC tree reduction over ICI); the proof bytes are identical to
+    the single-device path. ``kern``: explicit kernel provider (overrides
+    ``mesh``)."""
     from ..utils.profiling import Phases
+
+    if kern is None:
+        if mesh is not None:
+            from ..parallel.mesh_prove import MeshKernels
+
+            kern = MeshKernels(mesh)
+        else:
+            kern = _LOCAL_KERNELS
 
     ph = phases if phases is not None else Phases()
     vk = pk.vk
@@ -704,10 +776,10 @@ def prove(pk: ProvingKey, witness, public_inputs: list[int],
 
     with ph.phase("round1_commit"):
         cols = [wire_mont] + ([m_mont] if num_tables else [])
-        polys_r1 = ntt.intt_batch(jnp.concatenate(cols, axis=0), k)
+        polys_r1 = kern.intt_batch(jnp.concatenate(cols, axis=0), k)
         blinds_r1 = _rand_blind(polys_r1.shape[0], rng)
         polys_r1 = _apply_blind(polys_r1, blinds_r1)
-        comms_r1 = _commit_blinded_batch(pk, polys_r1)
+        comms_r1 = _commit_blinded_batch(pk, polys_r1, kern)
         wire_polys = polys_r1[:num_wires]
         m_polys = polys_r1[num_wires:]
     for c in comms_r1:
@@ -728,12 +800,12 @@ def prove(pk: ProvingKey, witness, public_inputs: list[int],
             pk.table_vals if num_tables else jnp.zeros((0, n, 16), jnp.uint32),
             m_mont if num_tables else jnp.zeros((0, n, 16), jnp.uint32),
         )
-        polys_r2 = ntt.intt_batch(
+        polys_r2 = kern.intt_batch(
             jnp.concatenate([z_col[None], h_cols], axis=0), k
         )
         blinds_r2 = _rand_blind(polys_r2.shape[0], rng)
         polys_r2 = _apply_blind(polys_r2, blinds_r2)
-        comms_r2 = _commit_blinded_batch(pk, polys_r2)
+        comms_r2 = _commit_blinded_batch(pk, polys_r2, kern)
         z_poly = polys_r2[0]
         h_polys = polys_r2[1:]
     t.write_point(comms_r2[0])
@@ -771,16 +843,12 @@ def prove(pk: ProvingKey, witness, public_inputs: list[int],
             FR, [beta * kw % R for kw in pk.k_cosets], mont=True
         )
 
-        t_coeffs = _round3_graph(
-            log_ext, num_wires, num_tables,
+        t_coeffs = kern.round3_t(
+            pk, num_tables,
             wire_polys, m_polys, z_poly, h_polys, pi_poly,
-            pk.fixed_ext, pk.sigma_ext,
             pk.table_ext if num_tables else jnp.zeros((0, 1 << log_ext, 16), jnp.uint32),
-            pk.l0_ext, pk.x_ext, pk.van_inv,
             coset_scale, omega_scale, cinv_scale,
             alpha_pows, beta_m, gamma_m, beta_lk_m, kw_beta,
-            ntt._twiddles_full(log_ext, False),
-            ntt._twiddles_full(log_ext, True),
         )
         # split into degree-<n pieces; for an honest witness everything
         # above (num_wires+2)·n is zero (truncation mirrors create_proof,
@@ -788,7 +856,7 @@ def prove(pk: ProvingKey, witness, public_inputs: list[int],
         # verification).
         num_pieces = num_wires + 2
         pieces = t_coeffs[: num_pieces * n].reshape(num_pieces, n, 16)
-        piece_comms = _commit_batch(pk.srs, pieces)
+        piece_comms = _commit_batch(pk.srs, pieces, kern)
     for c in piece_comms:
         t.write_point(c)
 
@@ -830,7 +898,7 @@ def prove(pk: ProvingKey, witness, public_inputs: list[int],
         vp_w = vecfield.pow_series(FR, v, polys_w.shape[0])
         f_w = _fold_graph(polys_w, vp_w)
         (val_x, pi_x), (val_w, pi_w) = _open_many(
-            pk, [(f_x, x), (f_w, xw)]
+            pk, [(f_x, x), (f_w, xw)], kern
         )
         for val, evs, tag in ((val_x, evals_x, "x"), (val_w, evals_w, "omega·x")):
             want = 0
@@ -990,28 +1058,33 @@ def _verify_inner(vk: VerifyingKey, proof: bytes, public_inputs: list[int]) -> b
     )
     comms_w = [z_comm] + h_comms
 
-    def fold_comms(comms, evals):
-        f = None
-        val = 0
-        vp = 1
-        for c, e in zip(comms, evals):
-            f = curve.g1_add(f, curve.g1_mul(c, vp))
-            val = (val + vp * e) % R
-            vp = vp * v % R
-        return f, val
-
-    f1, v1 = fold_comms(comms_x, evals_x)
-    f2, v2 = fold_comms(comms_w, evals_w)
+    # scalar folds (host, O(#polys) small-int work)
+    vpow_x, vpow_w = [], []
+    v1 = v2 = 0
+    vp = 1
+    for e in evals_x:
+        vpow_x.append(vp)
+        v1 = (v1 + vp * e) % R
+        vp = vp * v % R
+    vp = 1
+    for e in evals_w:
+        vpow_w.append(vp)
+        v2 = (v2 + vp * e) % R
+        vp = vp * v % R
 
     xw = x * omega % R
     # e(pi_x + u pi_w, [tau]_2) == e(E1 + x pi_x + u(E2 + xw pi_w), [1]_2)
-    lhs_g1 = curve.g1_add(pi_x, curve.g1_mul(pi_w, u))
-    e1 = curve.g1_add(f1, curve.g1_neg(curve.g1_mul(curve.G1_GEN, v1)))
-    e2 = curve.g1_add(f2, curve.g1_neg(curve.g1_mul(curve.G1_GEN, v2)))
-    rhs_g1 = curve.g1_add(
-        curve.g1_add(e1, curve.g1_mul(pi_x, x)),
-        curve.g1_mul(curve.g1_add(e2, curve.g1_mul(pi_w, xw)), u),
+    # The whole RHS fold — Σ v^p C_p + u Σ v^p C'_p − (v1 + u v2)·G
+    # + x·pi_x + u·xw·pi_w — is ONE ~50-point device MSM instead of ~50
+    # host double-and-add ladders (the 0.7 s hot spot of the r3 verifier).
+    pts = comms_x + comms_w + [curve.G1_GEN, pi_x, pi_w]
+    scs = (
+        vpow_x
+        + [u * vp % R for vp in vpow_w]
+        + [(-(v1 + u * v2)) % R, x, u * xw % R]
     )
+    rhs_g1 = msm.run_msm(scs, pts)
+    lhs_g1 = curve.g1_add(pi_x, curve.g1_mul(pi_w, u))
     return curve.pairing_check(
         [(lhs_g1, vk.srs_g2_tau), (curve.g1_neg(rhs_g1), vk.srs_g2_gen)]
     )
