@@ -94,6 +94,53 @@ class MainGate:
         self.b.gate([a, out], (k, -1, 0, 0, 0, 0, 0, 0))
         return out
 
+    def linear_combination(self, terms, const: int = 0) -> Cell:
+        """out = const + Σ k_i·c_i for [(c_i, k_i), ...], packed 4 terms to a
+        row (the 5-wire gate's full linear capacity; chained rows carry the
+        running sum). The row-count win over per-term ``add``/``mul_add``
+        chains is what the SHA-256 bit compositions ride."""
+        b = self.b
+        z = b.zero
+        acc = None  # (cell, is_first)
+        i = 0
+        n = len(terms)
+        while i < n or acc is None:
+            take = terms[i : i + (4 if acc is None else 3)]
+            i += len(take)
+            cells = [c for c, _ in take]
+            coefs = [k for _, k in take]
+            if acc is not None:
+                cells.append(acc)
+                coefs.append(1)
+            k0 = const if acc is None else 0
+            while len(cells) < 4:
+                cells.append(z)
+                coefs.append(0)
+            v = k0
+            for c, kk in zip(cells, coefs):
+                v += kk * b.val(c)
+            out = b.new_cell(
+                v,
+                ("linc", cells[0].idx, cells[1].idx, cells[2].idx,
+                 cells[3].idx, k0, coefs[0], coefs[1], coefs[2], coefs[3]),
+            )
+            b.gate(
+                cells[:4] + [out],
+                (coefs[0], coefs[1], coefs[2], coefs[3], -1, 0, 0, k0),
+            )
+            acc = out
+        return acc
+
+    def mul2_add(self, a: Cell, b_: Cell, c: Cell, d: Cell) -> Cell:
+        """out = a·b + c·d in one row (both product wires of the gate)."""
+        b = self.b
+        out = b.new_cell(
+            b.val(a) * b.val(b_) + b.val(c) * b.val(d),
+            ("mul2", a.idx, b_.idx, c.idx, d.idx),
+        )
+        b.gate([a, b_, c, d, out], (0, 0, 0, 0, -1, 1, 1, 0))
+        return out
+
     # --- logic -----------------------------------------------------------
 
     def select(self, a: Cell, b: Cell, cond: Cell) -> Cell:

@@ -82,15 +82,11 @@ class RangeChip:
             b.lookup(c, w)
             cells.append(c)
             shift += w
-        # recompose: acc_{j+1} = acc_j + 2^shift_j * sublimb_j
-        acc = b.zero
+        # recompose: one linear-combination row per 4 sublimbs (3 + carry
+        # thereafter) instead of one row per sublimb
+        terms = []
         shift = 0
         for c, w in zip(cells, widths):
-            nxt = b.new_cell(
-                b.val(acc) + (b.val(c) << shift),
-                ("lin", acc.idx, c.idx, 0, 1, 1 << shift),
-            )
-            b.gate([acc, c, nxt], (1, 1 << shift, -1, 0, 0, 0, 0, 0))
-            acc = nxt
+            terms.append((c, 1 << shift))
             shift += w
-        return acc
+        return self.main_gate.linear_combination(terms)

@@ -177,22 +177,22 @@ class MeshKernels:
 
     # -- round 3 (quotient) ------------------------------------------------
 
-    def round3_t(self, pk, num_tables: int, wire_polys, m_polys, z_poly,
-                 h_polys, pi_poly, table_ext, coset_scale, omega_scale,
-                 cinv_scale, alpha_pows, beta_m, gamma_m, beta_lk_m,
-                 kw_beta):
+    def round3_t(self, pk, num_tables: int, wire_polys, m_polys, a_polys,
+                 z_poly, h_polys, pi_poly, table_ext, coset_scale,
+                 omega_scale, cinv_scale, alpha_pows, beta_m, gamma_m,
+                 beta_lk_m, kw_beta):
         log_ext = pk.log_ext
         num_wires = pk.vk.num_wires
         if not self._can_shard_ntt(log_ext):
             return plonk.LocalKernels.round3_t(
                 plonk._LOCAL_KERNELS, pk, num_tables, wire_polys, m_polys,
-                z_poly, h_polys, pi_poly, table_ext, coset_scale,
+                a_polys, z_poly, h_polys, pi_poly, table_ext, coset_scale,
                 omega_scale, cinv_scale, alpha_pows, beta_m, gamma_m,
                 beta_lk_m, kw_beta,
             )
         big = _stack_scale_pad(
-            num_tables, log_ext, wire_polys, m_polys, z_poly, h_polys,
-            pi_poly, omega_scale, coset_scale,
+            num_tables, log_ext, wire_polys, m_polys, a_polys, z_poly,
+            h_polys, pi_poly, omega_scale, coset_scale,
         )
         big_ext = ntt_sharded(big, log_ext, self.mesh, self.axis)
         t_ext = _ident_jit(
@@ -206,11 +206,12 @@ class MeshKernels:
 
 @functools.partial(fjit, static_argnums=(0, 1))
 def _stack_scale_pad(num_tables: int, log_ext: int, wire_polys, m_polys,
-                     z_poly, h_polys, pi_poly, omega_scale, coset_scale):
+                     a_polys, z_poly, h_polys, pi_poly, omega_scale,
+                     coset_scale):
     """Round-3 poly stack, coset-scaled and zero-padded to the extended
     domain (the pre-NTT half of ``plonk._coset_eval_graph``)."""
     big = plonk._round3_stack(
-        num_tables, wire_polys, m_polys, z_poly, h_polys, pi_poly,
+        num_tables, wire_polys, m_polys, a_polys, z_poly, h_polys, pi_poly,
         omega_scale,
     )
     p, l, _ = big.shape

@@ -68,17 +68,12 @@ class Sha256Chip:
         return Word(cell, bits)
 
     def _compose_bits(self, bits) -> Cell:
-        """Running-sum composition of bit cells into one field cell."""
-        b = self.b
-        acc = b.zero
-        for i, bit in enumerate(bits):
-            nxt = b.new_cell(
-                b.val(acc) + (b.val(bit) << i),
-                ("lin", acc.idx, bit.idx, 0, 1, 1 << i),
-            )
-            b.gate([acc, bit, nxt], (1, 1 << i, -1, 0, 0, 0, 0, 0))
-            acc = nxt
-        return acc
+        """Composition of bit cells into one field cell, 4 bits to a row
+        (3 + running sum thereafter): 11 rows for a 32-bit word instead of
+        32 — the single biggest row sink of the compression function."""
+        return self.mg.linear_combination(
+            [(bit, 1 << i) for i, bit in enumerate(bits)]
+        )
 
     def _decompose_word(self, cell: Cell) -> Word:
         """Witness 32 boolean bits and constrain their composition == cell."""
@@ -111,42 +106,43 @@ class Sha256Chip:
         return tuple(bits[i + n] if i + n < 32 else zero for i in range(32))
 
     def _ch_bits(self, e, f, g):
-        """ch = g + e*(f - g) per bit (2 rows/bit)."""
-        out = []
-        for eb, fb, gb in zip(e, f, g):
-            t = self.mg.sub(fb, gb)
-            out.append(self.mg.mul_add(eb, t, gb))
-        return tuple(out)
+        """ch = e ? f : g per bit — exactly the select gate (1 row/bit)."""
+        return tuple(
+            self.mg.select(fb, gb, eb) for eb, fb, gb in zip(e, f, g)
+        )
 
     def _maj_bits(self, a, b_, c):
-        """maj = ab + c*(a + b - 2ab) = ab ^ bc ^ ca per bit (3 rows/bit)."""
+        """maj = ab + c·(a ^ b) per bit: one xor row + one two-product row
+        (the gate's q_ab·ab + q_cd·(a^b)·c wires) — 2 rows/bit."""
         out = []
         for ab_, bb, cb in zip(a, b_, c):
-            prod = self.mg.mul(ab_, bb)
             x = self._xor(ab_, bb)
-            out.append(self.mg.mul_add(x, cb, prod))
+            out.append(self.mg.mul2_add(ab_, bb, x, cb))
         return tuple(out)
 
     def _mod32(self, cell: Cell, max_carry_bits: int = 4) -> Cell:
         """Split cell = q*2^32 + r; range-check q (small) and return r.
 
+        One constraint row q·2^32 + r − cell == 0 (no recompose chain).
         r's bit decomposition is done by the caller when needed."""
         b = self.b
         v = b.val(cell)
         q_v, r_v = v >> 32, v & 0xFFFFFFFF
         q = self.rc.assign(q_v, max_carry_bits, max_carry_bits, source=cell, source_shift=32)
         r = self.rc.assign(r_v, 8, 32, source=cell)
-        # q * 2^32 + r - cell == 0
-        two32 = self.mg.assign_constant(1 << 32)
-        recomposed = self.mg.mul_add(q, two32, r)
-        self.mg.assert_equal(recomposed, cell)
+        b.gate([q, r, cell], (1 << 32, 1, -1, 0, 0, 0, 0, 0))
         return r
 
-    def _add_words_mod32(self, cells) -> Word:
-        """Sum of composed word cells, reduced mod 2^32, re-bit-decomposed."""
-        acc = cells[0]
-        for c in cells[1:]:
-            acc = self.mg.add(acc, c)
+    def _add_words_mod32(self, cells, const: int = 0) -> Word:
+        """Sum of composed word cells (+ constant), reduced mod 2^32 and
+        re-bit-decomposed. The sum is one linear-combination row for up to
+        4 terms."""
+        if len(cells) == 1 and const == 0:
+            acc = cells[0]
+        else:
+            acc = self.mg.linear_combination(
+                [(c, 1) for c in cells], const=const
+            )
         r = self._mod32(acc)
         return self._decompose_word(r)
 
@@ -219,64 +215,71 @@ class Sha256Chip:
             mg.assign_bit(1 if i < mlen else 0, prov=("in",)) for i in range(pb)
         ]
         for i in range(pb - 1):
-            mg.assert_bit(mg.sub(mask[i], mask[i + 1]))  # prefix-of-ones
-        acc = b.zero
-        for m_bit in mask:
-            acc = mg.add(acc, m_bit)
-        mg.assert_equal(acc, len_cell)  # Σ mask == len
+            # prefix-of-ones: m_{i+1}·(1 − m_i) == 0 (one row, no new cell;
+            # both already boolean)
+            b.gate([mask[i + 1], mask[i]], (1, 0, 0, 0, 0, -1, 0, 0))
+        mask_sum = mg.linear_combination([(m_bit, 1) for m_bit in mask])
+        mg.assert_equal(mask_sum, len_cell)  # Σ mask == len
 
-        # step indicators p_i = [i == len]; 0x80 pinned at position len
-        p_cells = [mg.not_(mask[0])]
+        # 0x80 pinned at position len: (m_i − 0x80)·p_i == 0 with the step
+        # indicator p_i = mask_{i-1} − mask_i expanded in-row (both products
+        # ride the gate's q_ab/q_cd wires; no p cells materialized)
+        b.gate([byte_cells[0], mask[0]], (1, 0x80, 0, 0, 0, -1, 0, -0x80))
         for i in range(1, pb):
-            p_cells.append(mg.sub(mask[i - 1], mask[i]))
-        for m_c, p_c in zip(byte_cells, p_cells):
-            # m·p − 0x80·p == 0  (one row, no new cell)
-            b.gate([m_c, p_c], (0, -0x80, 0, 0, 0, 1, 0, 0))
+            b.gate(
+                [byte_cells[i], mask[i - 1], byte_cells[i], mask[i]],
+                (0, -0x80, 0, 0x80, 0, 1, -1, 0),
+            )
 
         # one-hot block selector tied to len
         s_cells = [
             mg.assign_bit(1 if bi == nb_used - 1 else 0, prov=("in",))
             for bi in range(nblocks)
         ]
-        acc = b.zero
-        for s in s_cells:
-            acc = mg.add(acc, s)
-        mg.assert_one(acc)
-        s_weighted = b.zero
-        for bi, s in enumerate(s_cells):
-            s_weighted = mg.add(s_weighted, mg.mul_by_constant(s, bi))
+        sel_sum = mg.linear_combination([(s, 1) for s in s_cells])
+        mg.assert_one(sel_sum)
         # r = len + 8 − 64·(nb−1) ∈ [0, 64)
-        r_expr = mg.add_constant(mg.sub(len_cell, mg.mul_by_constant(s_weighted, 64)), 8)
+        r_expr = mg.linear_combination(
+            [(len_cell, 1)] + [(s, -64 * bi) for bi, s in enumerate(s_cells)],
+            const=8,
+        )
         r_rc = self.rc.assign(b.val(r_expr), 6, 6, source=r_expr)
         mg.assert_equal(r_rc, r_expr)
 
-        # zero region: after 0x80, outside the selected block's length field
-        for i, (m_c, p_c) in enumerate(zip(byte_cells, p_cells)):
-            t = mg.mul(m_c, mg.not_(mask[i]))
-            t = mg.mul(t, mg.not_(p_c))
+        # zero region: after 0x80, outside the selected block's length field.
+        # (1 − mask_i)(1 − p_i) = 1 − mask_{i-1} for the monotone mask, so
+        # the constraint is m_i·(1 − mask_{i-1}) == 0 — one row outside the
+        # length fields, two (via a materialized product) inside them.
+        for i in range(1, pb):
+            m_c = byte_cells[i]
             if i % 64 >= 56:
-                t = mg.mul(t, mg.not_(s_cells[i // 64]))
-            mg.assert_zero(t)
+                t = b.new_cell(
+                    b.val(m_c) * (1 - b.val(mask[i - 1])),
+                    ("full", m_c.idx, mask[i - 1].idx, 0, 1, 0, -1),
+                )
+                b.gate([m_c, mask[i - 1], t], (1, 0, -1, 0, 0, -1, 0, 0))
+                b.gate([t, s_cells[i // 64]], (1, 0, 0, 0, 0, -1, 0, 0))
+            else:
+                b.gate([m_c, mask[i - 1]], (1, 0, 0, 0, 0, -1, 0, 0))
 
         # selected block's length field composes to 8·len (big-endian)
         sel_len = b.zero
         for bi in range(nblocks):
-            comp = b.zero
-            for j in range(8):
-                comp = mg.mul_add(
-                    mg.assign_constant(1 << (8 * (7 - j))),
-                    byte_cells[64 * bi + 56 + j],
-                    comp,
-                )
+            comp = mg.linear_combination(
+                [
+                    (byte_cells[64 * bi + 56 + j], 1 << (8 * (7 - j)))
+                    for j in range(8)
+                ]
+            )
             sel_len = mg.mul_add(s_cells[bi], comp, sel_len)
-        mg.assert_equal(sel_len, mg.mul_by_constant(len_cell, 8))
+        # sel_len − 8·len == 0
+        b.gate([sel_len, len_cell], (1, -8, 0, 0, 0, 0, 0, 0))
 
         # --- compression over all blocks, recording each block's h-state --
         h = [self._const_word(x) for x in _H0]
-        k_words = [mg.assign_constant(x) for x in _K]
         h_after: list[list[Word]] = []
         for blk in range(nblocks):
-            h = self._compress_block(h, byte_cells[64 * blk : 64 * (blk + 1)], k_words)
+            h = self._compress_block(h, byte_cells[64 * blk : 64 * (blk + 1)])
             h_after.append(h)
 
         # --- s-selected digest -------------------------------------------
@@ -297,20 +300,15 @@ class Sha256Chip:
                 digest_bytes.append(acc)
         return digest_words, digest_bytes, byte_cells[:max_len], len_cell
 
-    def _compress_block(self, h, block_cells, k_words):
+    def _compress_block(self, h, block_cells):
         """One SHA-256 compression round over 64 byte cells; returns new h."""
+        mg = self.mg
         w: list[Word] = []
         for i in range(16):
             cells4 = block_cells[4 * i : 4 * i + 4]
-            acc = self.b.zero
-            for j, bc in enumerate(cells4):
-                shift = 8 * (3 - j)
-                nxt = self.b.new_cell(
-                    self.b.val(acc) + (self.b.val(bc) << shift),
-                    ("lin", acc.idx, bc.idx, 0, 1, 1 << shift),
-                )
-                self.b.gate([acc, bc, nxt], (1, 1 << shift, -1, 0, 0, 0, 0, 0))
-                acc = nxt
+            acc = mg.linear_combination(
+                [(bc, 1 << (8 * (3 - j))) for j, bc in enumerate(cells4)]
+            )
             w.append(self._decompose_word(acc))
         for i in range(16, 64):
             s0b = self._xor3_bits(
@@ -335,19 +333,18 @@ class Sha256Chip:
                 )
             )
             ch = self._compose_bits(self._ch_bits(e.bits, f.bits, g.bits))
-            t1 = self.mg.add(hh.cell, S1)
-            t1 = self.mg.add(t1, ch)
-            t1 = self.mg.add(t1, k_words[i])
-            t1 = self.mg.add(t1, w[i].cell)
+            # t1 = hh + S1 + ch + w_i + K_i: one row (K_i rides q_const)
+            t1 = mg.linear_combination(
+                [(hh.cell, 1), (S1, 1), (ch, 1), (w[i].cell, 1)], const=_K[i]
+            )
             S0 = self._compose_bits(
                 self._xor3_bits(
                     self._rotr(a.bits, 2), self._rotr(a.bits, 13), self._rotr(a.bits, 22)
                 )
             )
             maj = self._compose_bits(self._maj_bits(a.bits, bb.bits, c.bits))
-            t2 = self.mg.add(S0, maj)
             new_e = self._add_words_mod32([d.cell, t1])
-            new_a = self._add_words_mod32([t1, t2])
+            new_a = self._add_words_mod32([t1, S0, maj])
             a, bb, c, d, e, f, g, hh = new_a, a, bb, c, new_e, e, f, g
 
         return [
@@ -376,10 +373,9 @@ class Sha256Chip:
         assert len(all_bytes) % 64 == 0
 
         h = [self._const_word(x) for x in _H0]
-        k_words = [self.mg.assign_constant(x) for x in _K]
 
         for blk in range(0, len(all_bytes), 64):
-            h = self._compress_block(h, all_cells[blk : blk + 64], k_words)
+            h = self._compress_block(h, all_cells[blk : blk + 64])
 
         digest_words = [word.cell for word in h]
         # big-endian digest bytes: word j, byte 0 = bits 24..32

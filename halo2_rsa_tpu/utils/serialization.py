@@ -185,6 +185,52 @@ def load_vk(path: str):
 
 
 # ---------------------------------------------------------------------------
+# keygen-once / load-thereafter
+# ---------------------------------------------------------------------------
+
+
+def circuit_fingerprint(compiled) -> str:
+    """Content hash of a compiled circuit's *structure* (gate wiring,
+    coefficients, lookups, instance cells) — the key for on-disk pk/vk
+    reuse. Any trace change invalidates the artifacts."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(compiled.gate_idx).tobytes())
+    h.update(np.ascontiguousarray(compiled.gate_coef_id).tobytes())
+    h.update(np.ascontiguousarray(compiled.coef_table).tobytes())
+    for bits, idx in compiled.lookup_groups:
+        h.update(bytes([bits]))
+        h.update(np.ascontiguousarray(idx).tobytes())
+    h.update(np.asarray(compiled.instance_idx, np.int64).tobytes())
+    return h.hexdigest()[:16]
+
+
+def load_or_keygen(compiled, k: int, keys_dir: str, tau: int = 777):
+    """Load (srs, pk, vk) for this circuit from ``keys_dir``, or generate
+    and persist them — the reference's keygen-per-process cost
+    (/root/reference/benches/bench.rs:228-239) amortized to one process
+    ever. Returns (srs, pk, vk, loaded: bool)."""
+    from ..prover import plonk
+
+    os.makedirs(keys_dir, exist_ok=True)
+    fp = circuit_fingerprint(compiled)
+    base = os.path.join(keys_dir, f"{fp}_k{k}")
+    srs_path = base + "_srs.npz"
+    pk_path = base + "_pk.npz"
+    if os.path.exists(srs_path) and os.path.exists(pk_path):
+        srs = load_srs(srs_path)
+        pk = load_pk(pk_path, srs)
+        return srs, pk, pk.vk, True
+    n_srs = (1 << k) + plonk.BLIND
+    srs = kzg.setup(n_srs, tau=tau)
+    pk, vk = plonk.keygen(compiled, srs, k=k)
+    save_srs(srs, srs_path[:-4])
+    save_pk(pk, pk_path[:-4])
+    return srs, pk, vk, False
+
+
+# ---------------------------------------------------------------------------
 # snarkjs .ptau ingestion (production trusted-setup artifacts)
 # ---------------------------------------------------------------------------
 #

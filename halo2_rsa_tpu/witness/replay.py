@@ -73,7 +73,9 @@ class WitnessProgram:
         "bigr": (),
         "bigsub": (),
         "lin": (1, 2),
+        "linc": (1, 2, 3, 4),
         "full": (1, 2),
+        "mul2": (1, 2, 3, 4),
         "mul3": (1, 2, 3),
         "sel": (1, 2, 3),
         "inv0": (1,),
@@ -126,6 +128,19 @@ class WitnessProgram:
                 k1 = vecfield.from_ints_np(self.fc, [p[4] % self.field.p for p in ps], mont=True)
                 k2 = vecfield.from_ints_np(self.fc, [p[5] % self.field.p for p in ps], mont=True)
                 groups.append(_Group(kind, dst, srcs, [k0, k1, k2], []))
+            elif kind == "linc":
+                srcs = [np.asarray([p[j] for p in ps], np.int32) for j in (1, 2, 3, 4)]
+                ks = [vecfield.from_ints_np(self.fc, [p[5] for p in ps], mont=False)]
+                for j in (6, 7, 8, 9):
+                    ks.append(
+                        vecfield.from_ints_np(
+                            self.fc, [p[j] % self.field.p for p in ps], mont=True
+                        )
+                    )
+                groups.append(_Group(kind, dst, srcs, ks, []))
+            elif kind == "mul2":
+                srcs = [np.asarray([p[j] for p in ps], np.int32) for j in (1, 2, 3, 4)]
+                groups.append(_Group(kind, dst, srcs, [], []))
             elif kind == "full":
                 srcs = [np.asarray([p[1] for p in ps], np.int32),
                         np.asarray([p[2] for p in ps], np.int32)]
@@ -194,6 +209,13 @@ class WitnessProgram:
             vals = [memo[d] for d in deps]
             if kind == "lin":
                 memo[j] = (p[3] + p[4] * vals[0] + p[5] * vals[1]) % p_mod
+            elif kind == "linc":
+                memo[j] = (
+                    p[5] + p[6] * vals[0] + p[7] * vals[1] + p[8] * vals[2]
+                    + p[9] * vals[3]
+                ) % p_mod
+            elif kind == "mul2":
+                memo[j] = (vals[0] * vals[1] + vals[2] * vals[3]) % p_mod
             elif kind == "full":
                 memo[j] = (
                     p[3] + p[4] * vals[0] + p[5] * vals[1] + p[6] * vals[0] * vals[1]
@@ -335,6 +357,17 @@ class WitnessProgram:
                             ),
                             vecfield._mont_mul(fc, ab, k3),
                         ),
+                    )
+                elif kind == "linc":
+                    k0, k1, k2, k3, k4 = consts
+                    v = jnp.broadcast_to(k0, w[:, srcs[0]].shape)
+                    for km, s in zip((k1, k2, k3, k4), srcs):
+                        v = vecfield._add(fc, v, vecfield._mont_mul(fc, km, w[:, s]))
+                elif kind == "mul2":
+                    v = vecfield._add(
+                        fc,
+                        mulmod_std(w[:, srcs[0]], w[:, srcs[1]]),
+                        mulmod_std(w[:, srcs[2]], w[:, srcs[3]]),
                     )
                 elif kind == "mul3":
                     v = vecfield._add(

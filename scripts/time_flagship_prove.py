@@ -40,6 +40,7 @@ print(f"imports: {time.perf_counter()-t_import0:.1f}s", file=sys.stderr)
 
 json_out = None
 sha_len = None
+keys_dir = None
 argv = sys.argv[1:]
 if "--json" in argv:
     i = argv.index("--json")
@@ -48,6 +49,10 @@ if "--json" in argv:
 if "--sha" in argv:
     i = argv.index("--sha")
     sha_len = int(argv[i + 1])
+    argv = argv[:i] + argv[i + 2 :]
+if "--keys" in argv:
+    i = argv.index("--keys")
+    keys_dir = argv[i + 1]
     argv = argv[:i] + argv[i + 2 :]
 args = [a for a in argv if not a.startswith("--")]
 bits = int(args[0]) if args else 1024
@@ -79,16 +84,28 @@ print(
     file=sys.stderr,
 )
 
-k = max(compiled.num_gates, compiled.num_witness // 5 + 1).bit_length()
+k = max(
+    compiled.num_gates + len(compiled.instance_idx),
+    compiled.num_witness // 5 + 1,
+).bit_length()
 print(f"choosing k={k}", file=sys.stderr)
-# SRS must cover the ZK blinding tail: n + BLIND powers (plonk.keygen asserts)
-srs = kzg.setup((1 << k) + plonk.BLIND, tau=777)
-t3 = time.perf_counter()
-print(f"srs setup: {t3-t2:.2f}s", file=sys.stderr)
+keys_loaded = False
+if keys_dir:
+    from halo2_rsa_tpu.utils.serialization import load_or_keygen
 
-pk, vk = plonk.keygen(compiled, srs, k=k)
-t4 = time.perf_counter()
-print(f"keygen: {t4-t3:.2f}s", file=sys.stderr)
+    srs, pk, vk, keys_loaded = load_or_keygen(compiled, k, keys_dir, tau=777)
+    t3 = t4 = time.perf_counter()
+    print(f"keys {'loaded' if keys_loaded else 'generated+saved'}: "
+          f"{t4-t2:.2f}s", file=sys.stderr)
+else:
+    # SRS must cover the ZK blinding tail: n + BLIND powers (keygen asserts)
+    srs = kzg.setup((1 << k) + plonk.BLIND, tau=777)
+    t3 = time.perf_counter()
+    print(f"srs setup: {t3-t2:.2f}s", file=sys.stderr)
+
+    pk, vk = plonk.keygen(compiled, srs, k=k)
+    t4 = time.perf_counter()
+    print(f"keygen: {t4-t3:.2f}s", file=sys.stderr)
 
 pub = circ.public_inputs
 ph_cold = Phases()
@@ -132,6 +149,7 @@ result = {
     "witness_cells": int(compiled.num_witness),
     "lookups": int(compiled.num_lookups),
     "proof_bytes": len(proof),
+    "keys_loaded_from_disk": keys_loaded,
     "srs_setup_s": round(t3 - t2, 3),
     "keygen_s": round(t4 - t3, 3),
     "prove_cold_s": round(t5 - t4, 3),

@@ -147,14 +147,14 @@ def test_logup_soundness_isolated():
     bits, idx = compiled.lookup_groups[0]
     assert bits == 4
 
-    # cells are created lo, hi, acc1, acc2 per rc.assign: repair the chain
+    # cells are created lo, hi, out per rc.assign (one linc recompose row:
+    # out = lo + 16*hi): shift 16 between the sublimbs so the row still
+    # holds while lo escapes the 4-bit table
     lo_i, hi_i = int(idx[0]), int(idx[1])
-    acc1_i = hi_i + 1
     bad = list(b.values)
-    assert bad[acc1_i] == bad[lo_i], "acc1 must mirror the low sublimb"
+    assert bad[hi_i] >= 1
     bad[lo_i] += 1 << bits   # escapes the 4-bit table
-    bad[acc1_i] += 1 << bits  # acc1 = lo still holds
-    bad[hi_i] -= 1           # acc2 = acc1 + 16*hi unchanged
+    bad[hi_i] -= 1           # out = (lo+16) + 16*(hi-1) unchanged
 
     # sanity: ALL gates satisfied, ONLY the lookup violated
     res = checker.check(compiled, checker.witness_limbs(bad))
