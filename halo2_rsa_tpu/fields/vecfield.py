@@ -382,6 +382,31 @@ def inv(fc: FieldConsts, a):
     return _pow_bits(fc, a, fc.p_minus_2_bits)
 
 
+def batch_inv_nz(fc: FieldConsts, a):
+    """Batched inverse via the Montgomery trick — x_i^{-1} =
+    (Π_{j<i} x_j)·(Π_{j>i} x_j)·(Π_j x_j)^{-1}: two log-depth prefix scans
+    + ONE 253-bit Fermat ladder on a single element, ~10x fewer muls than
+    the per-element ladder of :func:`inv`.
+
+    REQUIRES every element nonzero (one zero poisons the whole batch) —
+    callers are prover-internal denominators that are nonzero with
+    overwhelming probability over the verifier's challenges. Montgomery
+    domain in/out; arbitrary batch shape (..., 16)."""
+    shape = a.shape
+    m = a.reshape(-1, NUM_LIMBS)
+    pre = prefix_mul(fc, m)  # inclusive prefix products
+    total = pre[-1]
+    tinv = _pow_bits(fc, total[None], fc.p_minus_2_bits)
+    one = jnp.asarray(from_ints_np(fc, [1], mont=True))
+    pre_excl = jnp.concatenate([one, pre[:-1]], axis=0)
+    suf_incl = prefix_mul(fc, m[::-1])[::-1]
+    suf_excl = jnp.concatenate([suf_incl[1:], one], axis=0)
+    out = _mont_mul(
+        fc, _mont_mul(fc, pre_excl, suf_excl), jnp.broadcast_to(tinv, m.shape)
+    )
+    return out.reshape(shape)
+
+
 # ---------------------------------------------------------------------------
 # log-depth scans (one arithmetic-op instance in the compiled graph)
 # ---------------------------------------------------------------------------

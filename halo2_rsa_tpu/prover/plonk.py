@@ -300,7 +300,6 @@ def keygen(compiled: CompiledCircuit, srs: kzg.SRS, k: int | None = None):
     stack = [fixed_vals, sigma_vals] + ([table_vals] if num_tables else [])
     all_vals = jnp.concatenate(stack, axis=0)
     all_polys = ntt.intt_batch(all_vals, k)
-    scale = vecfield.pow_series(FR, COSET_GEN, n)
     fixed_polys = all_polys[:8]
     sigma_polys = all_polys[8 : 8 + num_wires]
     table_polys = all_polys[8 + num_wires :] if num_tables else None
@@ -316,36 +315,8 @@ def keygen(compiled: CompiledCircuit, srs: kzg.SRS, k: int | None = None):
     table_commitments = comms[8 + num_wires :]
     del all_polys
 
-    # --- extended-coset evals, one family at a time (no 2x double buffer
-    # of the full 8+W+T poly batch at n_ext) -----------------------------
-    fixed_ext = _coset_eval_batch(fixed_polys, log_ext, scale)
-    sigma_ext = _coset_eval_batch(sigma_polys, log_ext, scale)
-    table_ext = (
-        _coset_eval_batch(table_polys, log_ext, scale) if num_tables else None
-    )
-
-    # L0 / X / 1/(X^n−1) on the extended coset
-    n_ext = 1 << log_ext
-    l0_vals = jnp.zeros((1, n, 16), jnp.uint32).at[0, 0].set(jnp.asarray(FR.r_limbs))
-    l0_ext = _coset_eval_batch(ntt.intt_batch(l0_vals, k), log_ext, scale)[0]
-    w_ext_root = ntt.root_of_unity(log_ext)
-    x_ext = _vmul(
-        FR,
-        vecfield.pow_series(FR, w_ext_root, n_ext),
-        jnp.broadcast_to(
-            vecfield.from_ints(FR, [COSET_GEN], mont=True)[0], (n_ext, 16)
-        ),
-    )
-    period = n_ext // n
-    cn = pow(COSET_GEN, n, R)
-    wn = pow(w_ext_root, n, R)
-    van_inv_period = []
-    cur = cn
-    for _ in range(period):
-        van_inv_period.append(pow((cur - 1) % R, -1, R))
-        cur = cur * wn % R
-    van_inv = jnp.tile(
-        vecfield.from_ints(FR, van_inv_period, mont=True), (n_ext // period, 1)
+    fixed_ext, sigma_ext, table_ext, l0_ext, x_ext, van_inv = build_ext_arrays(
+        fixed_polys, sigma_polys, table_polys, k, log_ext
     )
 
     g1_tail = g1_vec.points_from_device(
@@ -385,6 +356,48 @@ def keygen(compiled: CompiledCircuit, srs: kzg.SRS, k: int | None = None):
         g1_tail=g1_tail,
     )
     return pk, vk
+
+
+def build_ext_arrays(fixed_polys, sigma_polys, table_polys, k: int,
+                     log_ext: int):
+    """The proving key's extended-coset precomputation, one family at a
+    time (no 2x double buffer of the full batch at n_ext). Shared by
+    keygen and the pk loader (the ext arrays are derived data and are not
+    serialized — utils.serialization.save_pk)."""
+    n = 1 << k
+    scale = vecfield.pow_series(FR, COSET_GEN, n)
+    fixed_ext = _coset_eval_batch(fixed_polys, log_ext, scale)
+    sigma_ext = _coset_eval_batch(sigma_polys, log_ext, scale)
+    table_ext = (
+        _coset_eval_batch(table_polys, log_ext, scale)
+        if table_polys is not None and table_polys.shape[0]
+        else None
+    )
+
+    # L0 / X / 1/(X^n−1) on the extended coset
+    n_ext = 1 << log_ext
+    l0_vals = jnp.zeros((1, n, 16), jnp.uint32).at[0, 0].set(jnp.asarray(FR.r_limbs))
+    l0_ext = _coset_eval_batch(ntt.intt_batch(l0_vals, k), log_ext, scale)[0]
+    w_ext_root = ntt.root_of_unity(log_ext)
+    x_ext = _vmul(
+        FR,
+        vecfield.pow_series(FR, w_ext_root, n_ext),
+        jnp.broadcast_to(
+            vecfield.from_ints(FR, [COSET_GEN], mont=True)[0], (n_ext, 16)
+        ),
+    )
+    period = n_ext // n
+    cn = pow(COSET_GEN, n, R)
+    wn = pow(w_ext_root, n, R)
+    van_inv_period = []
+    cur = cn
+    for _ in range(period):
+        van_inv_period.append(pow((cur - 1) % R, -1, R))
+        cur = cur * wn % R
+    van_inv = jnp.tile(
+        vecfield.from_ints(FR, van_inv_period, mont=True), (n_ext // period, 1)
+    )
+    return fixed_ext, sigma_ext, table_ext, l0_ext, x_ext, van_inv
 
 
 # ---------------------------------------------------------------------------
@@ -639,27 +652,34 @@ def _round2_graph(wire_mont, id_vals, sigma_vals, num_tables: int, beta_m,
             boundary += chunks[len(num_pref)]
         num = vecfield._mont_mul(FR, num, fn[w])
         den = vecfield._mont_mul(FR, den, fd[w])
-    # one batched inversion: the m-1 chunk-prefix denominators + full den
-    inv_in = jnp.stack(den_pref + [den])
-    invs = vecfield._pow_bits(FR, inv_in, FR.p_minus_2_bits)
+    # ONE Montgomery-trick batch inversion for every denominator of the
+    # round: the m-1 chunk-prefix dens, the full den, and (below) the 2T
+    # LogUp terms — ~10x fewer muls than per-element Fermat ladders
+    if num_tables:
+        a_b = _vadd(FR, wire_mont[5:], beta_lk_m)
+        t_b = _vadd(FR, table_vals, beta_lk_m)
+        lk_terms = [a_b, t_b]
+    else:
+        lk_terms = []
+    inv_in = jnp.concatenate(
+        [jnp.stack(den_pref + [den])] + lk_terms, axis=0
+    )
+    invs = vecfield.batch_inv_nz(FR, inv_in)
+    nm = len(den_pref)
     a_cols = (
-        vecfield._mont_mul(FR, jnp.stack(num_pref), invs[:-1])
+        vecfield._mont_mul(FR, jnp.stack(num_pref), invs[:nm])
         if num_pref
         else jnp.zeros((0, n, 16), jnp.uint32)
     )
-    ratio = vecfield._mont_mul(FR, num, invs[-1])
+    ratio = vecfield._mont_mul(FR, num, invs[nm])
     zprod = vecfield.prefix_mul(FR, ratio)
     one = jnp.asarray(FR.r_limbs)[None]
     z_col = jnp.concatenate([one, zprod[:-1]], axis=0)
 
     if num_tables == 0:
         return a_cols, z_col, jnp.zeros((0, n, 16), jnp.uint32)
-    a_b = _vadd(FR, wire_mont[5:], beta_lk_m)
-    t_b = _vadd(FR, table_vals, beta_lk_m)
-    invs_lk = vecfield._pow_bits(
-        FR, jnp.concatenate([a_b, t_b], axis=0), FR.p_minus_2_bits
-    )
-    inv_a, inv_t = invs_lk[:num_tables], invs_lk[num_tables:]
+    inv_a = invs[nm + 1 : nm + 1 + num_tables]
+    inv_t = invs[nm + 1 + num_tables :]
     term = _vsub(FR, inv_a, _vmul(FR, m_mont, inv_t))
     ps = vecfield.prefix_add(FR, term)
     h_cols = jnp.concatenate(

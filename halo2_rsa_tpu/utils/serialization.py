@@ -115,24 +115,23 @@ def save_vk(vk, path: str) -> None:
 def save_pk(pk, path: str) -> None:
     """ProvingKey -> npz. The SRS is NOT embedded (it is its own artifact,
     shared across circuits — pass it to :func:`load_pk`). Matches the
-    reference's params/pk/vk persistence boundary (bench.rs:228-239)."""
+    reference's params/pk/vk persistence boundary (bench.rs:228-239).
+
+    The extended-coset arrays (fixed_ext/sigma_ext/... — ~2 GB at k=17 and
+    the dominant zlib cost) are NOT persisted; :func:`load_pk` recomputes
+    them from the coefficient polys (seconds of warm device work)."""
     arrays = {
         "wire_source": np.asarray(pk.wire_source),
         "id_vals": np.asarray(pk.id_vals),
         "sigma_vals": np.asarray(pk.sigma_vals),
         "fixed_polys": np.asarray(pk.fixed_polys),
         "sigma_polys": np.asarray(pk.sigma_polys),
-        "fixed_ext": np.asarray(pk.fixed_ext),
-        "sigma_ext": np.asarray(pk.sigma_ext),
-        "l0_ext": np.asarray(pk.l0_ext),
-        "x_ext": np.asarray(pk.x_ext),
-        "van_inv": np.asarray(pk.van_inv),
     }
     if pk.table_vals is not None:
         arrays["table_vals"] = np.asarray(pk.table_vals)
         arrays["table_polys"] = np.asarray(pk.table_polys)
-        arrays["table_ext"] = np.asarray(pk.table_ext)
     meta = {
+        "k": pk.vk.k,
         "log_ext": pk.log_ext,
         "k_cosets": [str(c) for c in pk.k_cosets],
         "g1_tail": [[str(p[0]), str(p[1])] if p is not None else None for p in pk.g1_tail],
@@ -146,7 +145,7 @@ def save_pk(pk, path: str) -> None:
 def load_pk(path: str, srs: kzg.SRS):
     import jax.numpy as jnp
 
-    from ..prover.plonk import ProvingKey
+    from ..prover.plonk import ProvingKey, build_ext_arrays
 
     if not path.endswith(".npz"):
         path = path + ".npz"
@@ -154,24 +153,31 @@ def load_pk(path: str, srs: kzg.SRS):
     meta = json.loads(bytes(z["meta"]).decode())
     has_tables = "table_vals" in z.files
     vk = _vk_from_doc(meta["vk"])
+    log_ext = int(meta["log_ext"])
+    fixed_polys = jnp.asarray(z["fixed_polys"])
+    sigma_polys = jnp.asarray(z["sigma_polys"])
+    table_polys = jnp.asarray(z["table_polys"]) if has_tables else None
+    fixed_ext, sigma_ext, table_ext, l0_ext, x_ext, van_inv = build_ext_arrays(
+        fixed_polys, sigma_polys, table_polys, vk.k, log_ext
+    )
     return ProvingKey(
         vk=vk,
         srs=srs,
         wire_source=z["wire_source"],
         k_cosets=[int(c) for c in meta["k_cosets"]],
-        log_ext=int(meta["log_ext"]),
+        log_ext=log_ext,
         id_vals=jnp.asarray(z["id_vals"]),
         sigma_vals=jnp.asarray(z["sigma_vals"]),
         table_vals=jnp.asarray(z["table_vals"]) if has_tables else None,
-        fixed_polys=jnp.asarray(z["fixed_polys"]),
-        sigma_polys=jnp.asarray(z["sigma_polys"]),
-        table_polys=jnp.asarray(z["table_polys"]) if has_tables else None,
-        fixed_ext=jnp.asarray(z["fixed_ext"]),
-        sigma_ext=jnp.asarray(z["sigma_ext"]),
-        table_ext=jnp.asarray(z["table_ext"]) if has_tables else None,
-        l0_ext=jnp.asarray(z["l0_ext"]),
-        x_ext=jnp.asarray(z["x_ext"]),
-        van_inv=jnp.asarray(z["van_inv"]),
+        fixed_polys=fixed_polys,
+        sigma_polys=sigma_polys,
+        table_polys=table_polys,
+        fixed_ext=fixed_ext,
+        sigma_ext=sigma_ext,
+        table_ext=table_ext,
+        l0_ext=l0_ext,
+        x_ext=x_ext,
+        van_inv=van_inv,
         g1_tail=[
             (int(p[0]), int(p[1])) if p is not None else None
             for p in meta["g1_tail"]

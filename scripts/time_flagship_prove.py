@@ -119,8 +119,16 @@ print(
 
 ok = plonk.verify(vk, proof, pub)
 t6 = time.perf_counter()
-print(f"verify: {t6-t5:.2f}s  ok={ok}", file=sys.stderr)
+print(f"verify(cold): {t6-t5:.2f}s  ok={ok}", file=sys.stderr)
 assert ok
+# warm verify: the cold one pays the ~60-90 s one-time compile of the
+# verifier's small fold-MSM class
+verify_warm = []
+for _ in range(3):
+    t6b = time.perf_counter()
+    assert plonk.verify(vk, proof, pub)
+    verify_warm.append(time.perf_counter() - t6b)
+print(f"verify(warm x3): {['%.3f' % v for v in verify_warm]}", file=sys.stderr)
 
 # warm proves (compiled graphs cached) — the steady-state proving rate
 warm = []
@@ -155,6 +163,7 @@ result = {
     "prove_cold_s": round(t5 - t4, 3),
     "prove_warm_s": round(min(warm), 3),
     "verify_s": round(t6 - t5, 3),
+    "verify_warm_s": round(min(verify_warm), 3),
     "phases_cold": ph_cold.report()["phases_s"],
     "phases_warm_avg": {
         kk: round(v / len(warm), 4) for kk, v in ph_warm.times.items()
