@@ -74,13 +74,14 @@ def _tree_reduce_dev_axis(acc, d: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_msm_shard(mesh: Mesh, axis: str, window_bits: int):
+def _build_msm_shard(mesh: Mesh, axis: str, window_bits: int,
+                     z_one: bool = False):
     """jit(shard_map): (PC, N, 16) scalars x (N, 16) points -> replicated
     (PC, W, 16) window sums, points partitioned over ``axis``."""
     d = mesh.shape[axis]
 
     def per_shard(sc, px, py, pz):
-        sums = msm_mod._msm_chunk_sums(sc, (px, py, pz), window_bits)
+        sums = msm_mod._msm_chunk_sums(sc, (px, py, pz), window_bits, z_one)
         gathered = tuple(
             jax.lax.all_gather(c, axis_name=axis) for c in sums
         )  # (D, PC, W, 16)
@@ -136,20 +137,27 @@ class MeshKernels:
         self._pts_cache[key] = out
         return out
 
-    def msm_many(self, scalars, points):
+    def msm_many(self, scalars, points, z_one: bool = False):
         p, n = scalars.shape[:2]
         d = self.d
         if n < 2 * d:  # trivial sizes: not worth a collective
-            return msm_mod.msm_many(scalars, points)
+            return msm_mod.msm_many(scalars, points, z_one)
         npad = -(-n // d) * d
         if npad > n:
             pad = npad - n
             scalars = jnp.concatenate(
                 [scalars, jnp.zeros((p, pad, 16), jnp.uint32)], axis=1
             )
-            ident = identity((pad,))
+            if z_one:
+                from ..prover import curve
+                from ..prover.g1_vec import points_to_device
+
+                gen = points_to_device([curve.G1_GEN])
+                padp = tuple(jnp.broadcast_to(c, (pad, 16)) for c in gen)
+            else:
+                padp = identity((pad,))
             points = tuple(
-                jnp.concatenate([c, ic], axis=0) for c, ic in zip(points, ident)
+                jnp.concatenate([c, ic], axis=0) for c, ic in zip(points, padp)
             )
         # per-device shard plays the role of the single-chip point-axis
         # segment: window width chosen for the global size, capped at the
@@ -157,23 +165,20 @@ class MeshKernels:
         wb = msm_mod._window_bits_for(min(npad, msm_mod._SEG))
         nloc = npad // d
         pc = max(1, msm_mod._pick_pchunk(min(nloc, msm_mod._SEG)) // 2)
-        fn = _build_msm_shard(self.mesh, self.axis, wb)
+        fn = _build_msm_shard(self.mesh, self.axis, wb, z_one)
         pts_sh = self._sharded_points(points)
         sc_spec = NamedSharding(self.mesh, P(None, self.axis, None))
-        chunks = []
-        for i in range(0, p, pc):
-            sc = scalars[i : i + pc]
-            if sc.shape[0] < pc:
-                sc = jnp.concatenate(
-                    [sc, jnp.zeros((pc - sc.shape[0], npad, 16), jnp.uint32)],
-                    axis=0,
-                )
-            sums = fn(jax.device_put(sc, sc_spec), *pts_sh)
-            chunks.append(msm_mod._window_combine_jit(sums, wb))
-        res = tuple(
-            jnp.concatenate([ch[c] for ch in chunks], axis=0) for c in range(3)
+        all_sums = []
+        i = 0
+        for size in msm_mod._chunk_plan(p, pc):
+            sc = scalars[i : i + size]
+            i += size
+            all_sums.append(fn(jax.device_put(sc, sc_spec), *pts_sh))
+        stacked = tuple(
+            jnp.concatenate([ch[c] for ch in all_sums], axis=0)
+            for c in range(3)
         )
-        return tuple(c[:p] for c in res)
+        return msm_mod._window_combine_jit(stacked, wb)
 
     # -- round 3 (quotient) ------------------------------------------------
 

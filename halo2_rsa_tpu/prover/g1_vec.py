@@ -150,6 +150,22 @@ def is_identity(p):
     return vecfield.is_zero(p[2])
 
 
+def points_to_affine(p):
+    """Projective (X, Y, Z) coord tuple of (..., 16) -> (X/Z, Y/Z, 1).
+
+    REQUIRES Z != 0 everywhere (one batched inversion); used to normalize
+    the SRS powers once so every commit MSM can skip the Z gather
+    (``msm_many(..., z_one=True)``)."""
+    x, y, z = p
+    zinv = vecfield.batch_inv_nz(FQ, z)
+    one = jnp.broadcast_to(jnp.asarray(FQ.r_limbs), z.shape)
+    return (
+        vecfield._mont_mul(FQ, x, zinv),
+        vecfield._mont_mul(FQ, y, zinv),
+        one,
+    )
+
+
 # ---------------------------------------------------------------------------
 # host <-> device conversion
 # ---------------------------------------------------------------------------

@@ -88,7 +88,9 @@ def setup(n: int, tau: int | None = None, seed: int = 0) -> SRS:
     powers = [1] * n
     for i in range(1, n):
         powers[i] = powers[i - 1] * tau % R
-    g1_powers = fixed_base_mul_batch(powers)
+    # normalized to affine (Z == 1): commit MSMs rely on it to skip the Z
+    # gather (msm_many z_one=True); powers of tau are never the identity
+    g1_powers = g1_vec.points_to_affine(fixed_base_mul_batch(powers))
     g2_tau = curve.g2_mul(curve.G2_GEN, tau)
     return SRS(n=n, g1_powers=g1_powers, g2_gen=curve.G2_GEN, g2_tau=g2_tau)
 
@@ -100,7 +102,7 @@ def commit(srs: SRS, coeffs):
         coeffs = vecfield.from_ints(FR, list(coeffs), mont=False)
     k = coeffs.shape[0]
     pts = tuple(c[:k] for c in srs.g1_powers)
-    res = msm.msm(coeffs, pts)
+    res = msm.msm(coeffs, pts, z_one=True)
     return g1_vec.points_from_device(tuple(c[None] for c in res))[0]
 
 
@@ -148,7 +150,7 @@ def open_at(srs: SRS, coeffs, z: int):
     q_mont, v = quotient_poly(coeffs_mont, z)
     q_std = vecfield.from_mont(FR, q_mont)
     k = q_std.shape[0]
-    pi = msm.msm(q_std, tuple(c[:k] for c in srs.g1_powers))
+    pi = msm.msm(q_std, tuple(c[:k] for c in srs.g1_powers), z_one=True)
     pi_aff = g1_vec.points_from_device(tuple(c[None] for c in pi))[0]
     return v, pi_aff
 

@@ -53,16 +53,20 @@ def _window_bits_for(n: int) -> int:
 
 
 def digits_from_scalar_limbs(scalars, window_bits: int = 8):
-    """(N, 16) uint32 standard-form Fr limbs -> (W, N) int32 digits,
-    W = 256/window_bits, least-significant window first."""
+    """(..., N, 16) uint32 standard-form Fr limbs -> (..., W, N) int32
+    digits, W = 256/window_bits, least-significant window first.
+
+    Vectorized: per-shift slabs + ONE transpose, instead of W strided
+    slice-extractions (which XLA materialized as W separate passes —
+    ~19 ms/poly at 2^15, measured r4)."""
     per_limb = 16 // window_bits
     mask = (1 << window_bits) - 1
-    outs = []
-    for j in range(NUM_LIMBS):
-        limb = scalars[..., j]
-        for t in range(per_limb):
-            outs.append((limb >> (t * window_bits)) & mask)
-    return jnp.stack(outs, axis=-2).astype(jnp.int32)
+    shifted = [
+        (scalars >> (t * window_bits)) & mask for t in range(per_limb)
+    ]  # each (..., N, 16)
+    d = jnp.stack(shifted, axis=-1)  # (..., N, 16, per_limb)
+    d = d.reshape(scalars.shape[:-1] + (NUM_LIMBS * per_limb,))
+    return jnp.swapaxes(d, -1, -2).astype(jnp.int32)
 
 
 def _pick_chunk(n: int) -> int:
@@ -94,14 +98,24 @@ def _hs_point_scan(ps, axis_len: int):
     return jax.lax.fori_loop(0, steps, body, ps)
 
 
-def _bucket_sums(digits, points, num_buckets: int):
+def _bucket_sums(digits, points, num_buckets: int, z_one: bool = False):
     """digits (W, N) int32; points: projective tuple of (N, 16).
 
-    Returns bucket sums as a tuple of (W, num_buckets, 16) coords."""
+    Returns bucket sums as a tuple of (W, num_buckets, 16) coords.
+    ``z_one``: all points are affine (Z == one in Montgomery form) — skips
+    the W-way gather of the constant Z coordinate (1/3 of the pipeline's
+    dominant random-gather volume; the SRS powers satisfy this)."""
     w, n = digits.shape
     order = jnp.argsort(digits, axis=1)  # (W, N)
     ds = jnp.take_along_axis(digits, order, axis=1)
-    ps = tuple(c[order] for c in points)  # (W, N, 16)
+    if z_one:
+        from .g1_vec import FQ
+
+        gathered = tuple(c[order] for c in points[:2])
+        ones = jnp.broadcast_to(jnp.asarray(FQ.r_limbs), gathered[0].shape)
+        ps = gathered + (ones,)
+    else:
+        ps = tuple(c[order] for c in points)  # (W, N, 16)
 
     c_len = _pick_chunk(n)
     npad = -(-n // c_len) * c_len
@@ -219,7 +233,7 @@ def _msm_one(sc, points, window_bits: int):
     return tuple(c[0] for c in out)
 
 
-def _msm_chunk_sums(sc, points, window_bits: int):
+def _msm_chunk_sums(sc, points, window_bits: int, z_one: bool = False):
     """Per-window sums for a chunk of the poly axis WITHOUT vmap: the poly
     axis is folded into the Pippenger window axis, so every stage (sort,
     chunked scans, bucket differencing, reduction) runs one explicitly-
@@ -235,14 +249,16 @@ def _msm_chunk_sums(sc, points, window_bits: int):
     digits = digits_from_scalar_limbs(sc, window_bits)  # (PC, W, N)
     w = digits.shape[1]
     flat = digits.reshape(pc * w, digits.shape[2])
-    buckets = _bucket_sums(flat, points, num_buckets)  # (PC*W, B)
+    buckets = _bucket_sums(flat, points, num_buckets, z_one)  # (PC*W, B)
     sums = _bucket_reduce(buckets)  # (PC*W, 16)
     return tuple(c.reshape(pc, w, 16) for c in sums)
 
 
-def _msm_chunk(sc, points, window_bits: int):
+def _msm_chunk(sc, points, window_bits: int, z_one: bool = False):
     """sc (PC, N, 16); points shared tuple of (N, 16) -> (PC, 16) coords."""
-    return _window_combine(_msm_chunk_sums(sc, points, window_bits), window_bits)
+    return _window_combine(
+        _msm_chunk_sums(sc, points, window_bits, z_one), window_bits
+    )
 
 
 @functools.partial(fjit, static_argnums=(2,))
@@ -250,14 +266,14 @@ def _msm_one_jit(sc, points, window_bits: int):
     return _msm_one(sc, points, window_bits)
 
 
-@functools.partial(fjit, static_argnums=(2,))
-def _msm_chunk_jit(sc, points, window_bits: int):
-    return _msm_chunk(sc, points, window_bits)
+@functools.partial(fjit, static_argnums=(2, 3))
+def _msm_chunk_jit(sc, points, window_bits: int, z_one: bool = False):
+    return _msm_chunk(sc, points, window_bits, z_one)
 
 
-@functools.partial(fjit, static_argnums=(2,))
-def _msm_chunk_sums_jit(sc, points, window_bits: int):
-    return _msm_chunk_sums(sc, points, window_bits)
+@functools.partial(fjit, static_argnums=(2, 3))
+def _msm_chunk_sums_jit(sc, points, window_bits: int, z_one: bool = False):
+    return _msm_chunk_sums(sc, points, window_bits, z_one)
 
 
 @functools.partial(fjit, static_argnums=(1,))
@@ -288,15 +304,36 @@ def _pick_pchunk(n: int) -> int:
     return 2
 
 
-def msm_many(scalars, points):
+def _chunk_plan(p: int, pc_max: int) -> list:
+    """Split the poly axis into chunk sizes from {pc_max, pc_max/2, ..., 1}
+    with no padding waste (a p=2 call used to pad to the pc=4 class and do
+    2x the bucket work)."""
+    sizes = []
+    size = pc_max
+    rem = p
+    while rem:
+        while size > rem:
+            size //= 2
+        sizes.append(size)
+        rem -= size
+    return sizes
+
+
+def msm_many(scalars, points, z_one: bool = False):
     """Batched MSM: commit P scalar vectors against shared points.
 
     scalars (P, N, 16) uint32 standard-form Fr limbs; points: projective
     tuple of (N, 16) Montgomery Fq coords. Returns a projective tuple of
-    (P, 16) coords. N is padded to the next power of two (>= 32) and the
-    poly axis runs vmapped on-device in chunks of a fixed size class
-    (padded with zero scalars), so XLA compiles one graph per
-    (chunk, N, window) class and the P axis is device-parallel."""
+    (P, 16) coords. N is padded to the next power of two (>= 32); the poly
+    axis is split into power-of-two chunk classes (no zero-poly padding)
+    and every chunk's window sums share ONE final Horner combine (the
+    256-step sequential tail is paid once per call, not once per chunk).
+
+    ``z_one``: promise that every base point has Z == 1 (affine, e.g. the
+    SRS powers) — skips gathering the constant Z coordinate in the bucket
+    pipeline. Any point-axis padding then uses the generator (a valid
+    curve point) — harmless because its scalars are 0 and digit-0 points
+    never enter a bucket."""
     p, n = scalars.shape[:2]
     npow = max(32, 1 << max(0, (n - 1).bit_length()))
     if npow > n:
@@ -304,9 +341,13 @@ def msm_many(scalars, points):
         scalars = jnp.concatenate(
             [scalars, jnp.zeros((p, pad, 16), jnp.uint32)], axis=1
         )
-        ident = identity((pad,))
+        if z_one:
+            gen = g1_vec.points_to_device([curve.G1_GEN])
+            padp = tuple(jnp.broadcast_to(c, (pad, 16)) for c in gen)
+        else:
+            padp = identity((pad,))
         points = tuple(
-            jnp.concatenate([c, ic], axis=0) for c, ic in zip(points, ident)
+            jnp.concatenate([c, ic], axis=0) for c, ic in zip(points, padp)
         )
     if npow > _SEG:
         # point-axis segmentation: each 2^15 segment runs the standard
@@ -317,45 +358,36 @@ def msm_many(scalars, points):
         # half the usual poly chunk: segmented MSMs run beside a large
         # resident proving key (the reason they're segmented at all)
         pc = max(1, _pick_pchunk(_SEG) // 2)
-        chunks = []
-        for i in range(0, p, pc):
-            sc = scalars[i : i + pc]
-            if sc.shape[0] < pc:
-                sc = jnp.concatenate(
-                    [sc, jnp.zeros((pc - sc.shape[0], npow, 16), jnp.uint32)],
-                    axis=0,
-                )
+        all_sums = []
+        i = 0
+        for size in _chunk_plan(p, pc):
+            sc = scalars[i : i + size]
+            i += size
             sums = None
             for s in range(0, npow, _SEG):
                 pts_seg = tuple(c[s : s + _SEG] for c in points)
-                seg = _msm_chunk_sums_jit(sc[:, s : s + _SEG], pts_seg, wb)
+                seg = _msm_chunk_sums_jit(sc[:, s : s + _SEG], pts_seg, wb, z_one)
                 sums = seg if sums is None else _point_add_jit(sums, seg)
-            chunks.append(_window_combine_jit(sums, wb))
-        res = tuple(
-            jnp.concatenate([ch[c] for ch in chunks], axis=0) for c in range(3)
-        )
-        return tuple(c[:p] for c in res)
-    wb = _window_bits_for(npow)
-    pc = _pick_pchunk(npow)
-    if p == 1:
-        out = _msm_one_jit(scalars[0], points, wb)
-        return tuple(c[None] for c in out)
-    chunks = []
-    for i in range(0, p, pc):
-        sc = scalars[i : i + pc]
-        if sc.shape[0] < pc:
-            sc = jnp.concatenate(
-                [sc, jnp.zeros((pc - sc.shape[0], npow, 16), jnp.uint32)], axis=0
-            )
-        chunks.append(_msm_chunk_jit(sc, points, wb))
-    res = tuple(jnp.concatenate([ch[c] for ch in chunks], axis=0) for c in range(3))
-    return tuple(c[:p] for c in res)
+            all_sums.append(sums)
+    else:
+        wb = _window_bits_for(npow)
+        pc = _pick_pchunk(npow)
+        all_sums = []
+        i = 0
+        for size in _chunk_plan(p, pc):
+            sc = scalars[i : i + size]
+            i += size
+            all_sums.append(_msm_chunk_sums_jit(sc, points, wb, z_one))
+    stacked = tuple(
+        jnp.concatenate([ch[c] for ch in all_sums], axis=0) for c in range(3)
+    )
+    return _window_combine_jit(stacked, wb)
 
 
-def msm(scalars, points):
+def msm(scalars, points, z_one: bool = False):
     """Single MSM; see :func:`msm_many`. Returns a projective point
     (scalar-shaped coord tuple)."""
-    res = msm_many(scalars[None], points)
+    res = msm_many(scalars[None], points, z_one)
     return tuple(c[0] for c in res)
 
 

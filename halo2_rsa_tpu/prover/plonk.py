@@ -512,8 +512,8 @@ class LocalKernels:
     def intt_batch(self, vals, k: int):
         return ntt.intt_batch(vals, k)
 
-    def msm_many(self, scalars, points):
-        return msm.msm_many(scalars, points)
+    def msm_many(self, scalars, points, z_one: bool = False):
+        return msm.msm_many(scalars, points, z_one)
 
     def round3_t(self, pk: "ProvingKey", num_tables: int, wire_polys,
                  m_polys, a_polys, z_poly, h_polys, pi_poly, table_ext,
@@ -540,7 +540,9 @@ def _commit_batch(srs: kzg.SRS, polys_mont, kern=None) -> list:
     l = polys_mont.shape[1]
     std = vecfield.from_mont(FR, polys_mont)
     pts = tuple(c[:l] for c in srs.g1_powers)
-    return g1_vec.points_from_device(kern.msm_many(std, pts))
+    # SRS powers are affine (Z == 1): skip the Z gather in the bucket
+    # pipeline
+    return g1_vec.points_from_device(kern.msm_many(std, pts, z_one=True))
 
 
 def _commit_blinded_batch(pk: ProvingKey, polys_pad, kern=None) -> list:
@@ -605,7 +607,9 @@ def _open_many(pk: ProvingKey, polys_points, kern=None):
         vals.append(v)
     q_all = jnp.stack(qs)
     heads_std = vecfield.from_mont(FR, q_all[:, :n])
-    pts = kern.msm_many(heads_std, tuple(c[:n] for c in pk.srs.g1_powers))
+    pts = kern.msm_many(
+        heads_std, tuple(c[:n] for c in pk.srs.g1_powers), z_one=True
+    )
     accs = g1_vec.points_from_device(pts)
     tails = vecfield.to_ints(FR, q_all[:, n:].reshape(-1, 16), mont=True)
     out = []

@@ -52,9 +52,13 @@ def load_srs(path: str) -> kzg.SRS:
         vals = [_int_from_bytes(b[i * 48 : (i + 1) * 48]) for i in range(4)]
         return ((vals[0], vals[1]), (vals[2], vals[3]))
 
+    # normalize to affine (Z == 1) on load: older files carry projective
+    # powers; commit MSMs rely on z_one (msm_many docstring)
     return kzg.SRS(
         n=int(z["n"]),
-        g1_powers=(jnp.asarray(z["g1x"]), jnp.asarray(z["g1y"]), jnp.asarray(z["g1z"])),
+        g1_powers=g1_vec.points_to_affine(
+            (jnp.asarray(z["g1x"]), jnp.asarray(z["g1y"]), jnp.asarray(z["g1z"]))
+        ),
         g2_gen=g2_from(bytes(z["g2_gen"])),
         g2_tau=g2_from(bytes(z["g2_tau"])),
     )
@@ -231,8 +235,12 @@ def load_or_keygen(compiled, k: int, keys_dir: str, tau: int = 777):
     n_srs = (1 << k) + plonk.BLIND
     srs = kzg.setup(n_srs, tau=tau)
     pk, vk = plonk.keygen(compiled, srs, k=k)
-    save_srs(srs, srs_path[:-4])
-    save_pk(pk, pk_path[:-4])
+    # atomic writes: a driver timeout mid-save must not leave a corrupt
+    # artifact that every later run would try to load
+    save_srs(srs, base + "_srs_tmp")
+    os.replace(base + "_srs_tmp.npz", srs_path)
+    save_pk(pk, base + "_pk_tmp")
+    os.replace(base + "_pk_tmp.npz", pk_path)
     return srs, pk, vk, False
 
 
