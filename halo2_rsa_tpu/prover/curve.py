@@ -392,14 +392,166 @@ def _g2_frobenius(P):
     return (x_f, y_f)
 
 
-def final_exponentiation(f):
-    """f^((q^12 - 1) / r). Easy part + generic hard part (slow but correct)."""
-    # easy part: f^(q^6 - 1) = conj(f) * f^-1 ; then ^(q^2 + 1)
+def _easy_part(f):
+    """f^((q^6 - 1)(q^2 + 1)) — lands in the cyclotomic subgroup."""
     f1 = fq12_mul(fq12_conj(f), fq12_inv(f))
-    f2 = fq12_mul(fq12_frobenius(fq12_frobenius(f1)), f1)
-    # hard part: exponent (q^4 - q^2 + 1)/r, computed generically
+    return fq12_mul(fq12_frobenius(fq12_frobenius(f1)), f1)
+
+
+def final_exponentiation_generic(f):
+    """f^((q^12 - 1) / r) with a generic ~3046-bit hard-part ladder.
+
+    Kept as the correctness oracle for the addition-chain version below
+    (tests assert equality); ~13x slower than :func:`final_exponentiation`.
+    """
+    f2 = _easy_part(f)
     hard = (Q**4 - Q**2 + 1) // R
     return fq12_pow(f2, hard)
+
+
+_BN_U_BITS = bin(BN_T)[3:]
+
+
+def _exp_by_u(f):
+    """f^u for the BN parameter u (63-bit fixed square-and-multiply)."""
+    r = f
+    for bit in _BN_U_BITS:
+        r = fq12_sqr(r)
+        if bit == "1":
+            r = fq12_mul(r, f)
+    return r
+
+
+def _hard_part(f):
+    """Exact hard part f^((q^4 - q^2 + 1)/r) for BN curves via the Scott et
+    al. 2009 vectorial addition chain (3 exps by u + ~13 muls + 4 squarings
+    + 7 frobenius), replacing the 3046-bit generic ladder. The chain's
+    exponent is verified symbolically equal to the hard part in
+    tests/test_curve_msm.py. Input must be in the cyclotomic subgroup
+    (output of :func:`_easy_part`), where inverse = conjugate."""
+    fx = _exp_by_u(f)
+    fx2 = _exp_by_u(fx)
+    fx3 = _exp_by_u(fx2)
+    fp = fq12_frobenius(f)
+    fp2 = fq12_frobenius(fp)
+    fp3 = fq12_frobenius(fp2)
+    fxp = fq12_frobenius(fx)
+    fx2p = fq12_frobenius(fx2)
+    fx3p = fq12_frobenius(fx3)
+    fx2p2 = fq12_frobenius(fq12_frobenius(fx2))
+    y0 = fq12_mul(fq12_mul(fp, fp2), fp3)
+    y1 = fq12_conj(f)
+    y2 = fx2p2
+    y3 = fq12_conj(fxp)
+    y4 = fq12_conj(fq12_mul(fx, fx2p))
+    y5 = fq12_conj(fx2)
+    y6 = fq12_conj(fq12_mul(fx3, fx3p))
+    t0 = fq12_mul(fq12_mul(fq12_sqr(y6), y4), y5)
+    t1 = fq12_mul(fq12_mul(y3, y5), t0)
+    t0 = fq12_mul(t0, y2)
+    t1 = fq12_sqr(fq12_mul(fq12_sqr(t1), t0))
+    t0 = fq12_mul(t1, y1)
+    t1 = fq12_mul(t1, y0)
+    return fq12_mul(fq12_sqr(t0), t1)
+
+
+def final_exponentiation(f):
+    """f^((q^12 - 1) / r): easy part + Fuentes-Castañeda hard-part chain."""
+    return _hard_part(_easy_part(f))
+
+
+# ---------------------------------------------------------------------------
+# Precomputed-line Miller loop (fixed G2 arguments: the SRS [tau]_2 / [1]_2)
+# ---------------------------------------------------------------------------
+
+
+def precompute_g2_lines(Q_):
+    """All Miller-loop line slopes/anchors for a fixed G2 point.
+
+    Each entry is (lam, x_t, y_t): the (tangent or chord) slope and the
+    anchor point, from which the sparse Fq12 line at any G1 point follows
+    with 2 Fq2 scalings (see :func:`_line_sparse`). Verification pairs every
+    proof against the same two SRS G2 points, so these are computed once per
+    verifying key (halo2's analog: the G2 prep baked into ParamsVerifierKZG)."""
+    lines = []
+    T = Q_
+    for bit in _ATE_BITS:
+        lam = fq2_mul(fq2_scalar(fq2_sqr(T[0]), 3), fq2_inv(fq2_scalar(T[1], 2)))
+        lines.append((lam, T[0], T[1]))
+        T = g2_add(T, T)
+        if bit == "1":
+            lam = fq2_mul(fq2_sub(Q_[1], T[1]), fq2_inv(fq2_sub(Q_[0], T[0])))
+            lines.append((lam, T[0], T[1]))
+            T = g2_add(T, Q_)
+    q1 = _g2_frobenius(Q_)
+    lam = fq2_mul(fq2_sub(q1[1], T[1]), fq2_inv(fq2_sub(q1[0], T[0])))
+    lines.append((lam, T[0], T[1]))
+    T = g2_add(T, q1)
+    q2 = g2_neg(_g2_frobenius(q1))
+    lam = fq2_mul(fq2_sub(q2[1], T[1]), fq2_inv(fq2_sub(q2[0], T[0])))
+    lines.append((lam, T[0], T[1]))
+    return lines
+
+
+_G2_LINE_CACHE: dict = {}
+
+
+def _g2_lines(Q_):
+    hit = _G2_LINE_CACHE.get(Q_)
+    if hit is None:
+        hit = _G2_LINE_CACHE[Q_] = precompute_g2_lines(Q_)
+    return hit
+
+
+def _fq6_mul_01(a, b0, b1):
+    """a * (b0, b1, 0) in Fq6 — 5 Fq2 muls instead of 6."""
+    a0, a1, a2 = a
+    t0 = fq2_mul(a0, b0)
+    t1 = fq2_mul(a1, b1)
+    c0 = fq2_add(t0, fq2_mul_xi(fq2_mul(a2, b1)))
+    c1 = fq2_sub(fq2_mul(fq2_add(a0, a1), fq2_add(b0, b1)), fq2_add(t0, t1))
+    c2 = fq2_add(fq2_mul(a2, b0), t1)
+    return (c0, c1, c2)
+
+
+def _fq6_scalar_fq(a, k):
+    return tuple(fq2_scalar(x, k) for x in a)
+
+
+def _mul_by_line(f, y_p, w1, w3):
+    """f * l where l = ((y_p, 0, 0), (w1, w3, 0)) in Fq12 — the sparse line
+    shape of :func:`_line_eval`; ~10 Fq2 muls vs 18 for a generic fq12_mul."""
+    a0, a1 = f
+    c0 = fq6_add(_fq6_scalar_fq(a0, y_p), fq6_mul_by_v(_fq6_mul_01(a1, w1, w3)))
+    c1 = fq6_add(_fq6_mul_01(a0, w1, w3), _fq6_scalar_fq(a1, y_p))
+    return (c0, c1)
+
+
+_ATE_BITS = bin(ATE_LOOP_COUNT)[3:]
+
+
+def miller_loop_lines(P, lines):
+    """Miller loop against precomputed lines (see precompute_g2_lines)."""
+    x_p, y_p = P
+    x_p = x_p % Q
+    y_p = y_p % Q
+    f = FQ12_ONE
+    i = 0
+
+    def absorb(f, i):
+        lam, x_t, y_t = lines[i]
+        w1 = fq2_scalar(lam, (-x_p) % Q)
+        w3 = fq2_sub(fq2_mul(lam, x_t), y_t)
+        return _mul_by_line(f, y_p, w1, w3), i + 1
+
+    for bit in _ATE_BITS:
+        f, i = absorb(fq12_sqr(f), i)
+        if bit == "1":
+            f, i = absorb(f, i)
+    f, i = absorb(f, i)
+    f, i = absorb(f, i)
+    assert i == len(lines)
+    return f
 
 
 def pairing(P, Q_):
@@ -408,8 +560,11 @@ def pairing(P, Q_):
 
 
 def pairing_check(pairs) -> bool:
-    """prod e(P_i, Q_i) == 1 (batch the final exponentiation)."""
+    """prod e(P_i, Q_i) == 1: precomputed-line Miller loops (the G2 side is
+    the fixed SRS pair), one batched fast final exponentiation."""
     f = FQ12_ONE
     for P, Q_ in pairs:
-        f = fq12_mul(f, miller_loop(P, Q_))
+        if P is None or Q_ is None:
+            continue
+        f = fq12_mul(f, miller_loop_lines(P, _g2_lines(Q_)))
     return final_exponentiation(f) == FQ12_ONE

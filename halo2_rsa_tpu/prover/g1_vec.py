@@ -198,6 +198,11 @@ def points_from_device(p) -> list:
     One stacked device->host transfer (a sync round trip costs ~25 ms on
     tunneled setups; three per call tripled it)."""
     stacked = np.asarray(jnp.stack([c.reshape(-1, 16) for c in p]))
+    return points_from_host_stack(stacked)
+
+
+def points_from_host_stack(stacked: np.ndarray) -> list:
+    """Host (3, N, 16) Montgomery-limb coord stack -> affine points."""
     xs = vecfield.to_ints(FQ, stacked[0])
     ys = vecfield.to_ints(FQ, stacked[1])
     zs = vecfield.to_ints(FQ, stacked[2])

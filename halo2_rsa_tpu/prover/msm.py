@@ -276,6 +276,14 @@ def _msm_chunk_sums_jit(sc, points, window_bits: int, z_one: bool = False):
     return _msm_chunk_sums(sc, points, window_bits, z_one)
 
 
+@functools.partial(fjit, static_argnums=(2,))
+def _msm_small_stacked_jit(sc, points, window_bits: int):
+    """Window sums for one small MSM, returned as ONE stacked (3, W, 16)
+    array so the host reads everything back in a single transfer."""
+    sums = _msm_chunk_sums(sc[None], points, window_bits)
+    return jnp.stack([c[0] for c in sums])
+
+
 @functools.partial(fjit, static_argnums=(1,))
 def _window_combine_jit(window_sums, window_bits: int):
     return _window_combine(window_sums, window_bits)
@@ -405,12 +413,51 @@ def msm_host(scalars_int, points_affine):
     return acc
 
 
-def run_msm(scalars_int, points_affine):
-    """Convenience host wrapper: ints + affine points -> one affine point."""
+def run_msm_async(scalars_int, points_affine):
+    """Dispatch one host-int MSM to the device, return a finish() closure.
+
+    Small inputs (the verifier's ~50-commitment GWC fold) take a fully
+    fused single-graph path (digits -> buckets -> reduce in ONE jit call)
+    whose dominant cost is host<->device round trips (~25 ms each here),
+    not FLOPs. The dispatch is async, so the caller can overlap host work
+    (e.g. the verifier's Miller loop) with the device compute; finish()
+    blocks on ONE stacked readback and Horner-combines the ~32 window sums
+    in host big-int math (~8 ms — the device's sequential ~250-step tail
+    at this size is latency-bound and slower)."""
     from ..fields.field import BN254_FR
 
     fr = vecfield.consts(BN254_FR)
     sc = vecfield.from_ints(fr, scalars_int, mont=False)
     pts = g1_vec.points_to_device(points_affine)
+    n = sc.shape[0]
+    npow = max(32, 1 << max(0, (n - 1).bit_length()))
+    if npow <= 512:
+        if npow > n:
+            sc = jnp.concatenate(
+                [sc, jnp.zeros((npow - n, 16), jnp.uint32)], axis=0
+            )
+            padp = identity((npow - n,))
+            pts = tuple(
+                jnp.concatenate([c, ic], axis=0) for c, ic in zip(pts, padp)
+            )
+        wb = _window_bits_for(npow)
+        stacked = _msm_small_stacked_jit(sc, pts, wb)
+
+        def finish():
+            wpts = g1_vec.points_from_host_stack(np.asarray(stacked))
+            acc = None
+            for p in reversed(wpts):
+                if acc is not None:
+                    for _ in range(wb):
+                        acc = curve.g1_add(acc, acc)
+                acc = curve.g1_add(acc, p)
+            return acc
+
+        return finish
     res = msm(sc, pts)
-    return g1_vec.points_from_device(tuple(c[None] for c in res))[0]
+    return lambda: g1_vec.points_from_device(tuple(c[None] for c in res))[0]
+
+
+def run_msm(scalars_int, points_affine):
+    """Convenience host wrapper: ints + affine points -> one affine point."""
+    return run_msm_async(scalars_int, points_affine)()

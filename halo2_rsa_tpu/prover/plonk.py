@@ -548,10 +548,20 @@ def _commit_batch(srs: kzg.SRS, polys_mont, kern=None) -> list:
 def _commit_blinded_batch(pk: ProvingKey, polys_pad, kern=None) -> list:
     """Commit (P, n+BLIND, 16) blinded polys: batched n-MSM for the heads +
     host fixed-base adds of the ≤BLIND tail coefficients against the
-    precomputed [τ^{n+j}]G1 points."""
+    precomputed [τ^{n+j}]G1 points.
+
+    Heads (MSM points) and blind tails read back in ONE device_get — a
+    host<->device round trip costs ~25 ms here, and two per committing
+    round was ~15% of the warm prove."""
+    kern = kern or _LOCAL_KERNELS
     n = polys_pad.shape[1] - BLIND
-    heads = _commit_batch(pk.srs, polys_pad[:, :n], kern)
-    tails = vecfield.to_ints(FR, polys_pad[:, n:], mont=True)
+    std = vecfield.from_mont(FR, polys_pad[:, :n])
+    pts = tuple(c[:n] for c in pk.srs.g1_powers)
+    pdev = kern.msm_many(std, pts, z_one=True)
+    stacked = jnp.stack([c.reshape(-1, 16) for c in pdev])
+    stacked_h, tails_h = jax.device_get([stacked, polys_pad[:, n:]])
+    heads = g1_vec.points_from_host_stack(stacked_h)
+    tails = vecfield.to_ints(FR, tails_h, mont=True)
     out = []
     for i, h in enumerate(heads):
         acc = h
@@ -610,8 +620,10 @@ def _open_many(pk: ProvingKey, polys_points, kern=None):
     pts = kern.msm_many(
         heads_std, tuple(c[:n] for c in pk.srs.g1_powers), z_one=True
     )
-    accs = g1_vec.points_from_device(pts)
-    tails = vecfield.to_ints(FR, q_all[:, n:].reshape(-1, 16), mont=True)
+    stacked = jnp.stack([c.reshape(-1, 16) for c in pts])
+    stacked_h, tails_h = jax.device_get([stacked, q_all[:, n:]])
+    accs = g1_vec.points_from_host_stack(stacked_h)
+    tails = vecfield.to_ints(FR, tails_h.reshape(-1, 16), mont=True)
     out = []
     for i, acc in enumerate(accs):
         for j in range(BLIND):
@@ -986,11 +998,14 @@ def prove(pk: ProvingKey, witness, public_inputs: list[int],
             stack_x += [h_polys]
         stack_x += [pad_to(pieces, l_pad)]
         polys_x = jnp.concatenate(stack_x, axis=0)
-        evals_x = _batch_eval(polys_x, x)
-
         xw = x * omega % R
         polys_w = jnp.concatenate([z_poly[None]] + ([h_polys] if num_tables else []), axis=0)
-        evals_w = _batch_eval(polys_w, xw)
+        # both evaluation batches read back in ONE round trip
+        ev_x = _batch_eval_graph(polys_x, vecfield.pow_series(FR, x, polys_x.shape[1]))
+        ev_w = _batch_eval_graph(polys_w, vecfield.pow_series(FR, xw, polys_w.shape[1]))
+        ev_x_h, ev_w_h = jax.device_get([ev_x, ev_w])
+        evals_x = vecfield.to_ints(FR, ev_x_h, mont=True)
+        evals_w = vecfield.to_ints(FR, ev_w_h, mont=True)
 
     for e in evals_x + evals_w:
         t.write_scalar(e)
@@ -1043,7 +1058,7 @@ def _absorb_vk(t, vk: VerifyingKey, pubs) -> None:
 def verify(vk: VerifyingKey, proof: bytes, public_inputs: list[int]) -> bool:
     try:
         return _verify_inner(vk, proof, public_inputs)
-    except (AssertionError, IndexError, ValueError):
+    except (AssertionError, IndexError, ValueError, TypeError):
         return False
 
 
@@ -1100,6 +1115,49 @@ def _verify_inner(vk: VerifyingKey, proof: bytes, public_inputs: list[int]) -> b
     piece_e = evals_x[pos : pos + num_pieces]; pos += num_pieces
     zw_e = evals_w[0]
     hw_e = evals_w[1:]
+
+    # --- GWC batched opening: DISPATCH the device MSM first ---------------
+    # The ~50-point fold MSM only needs transcript data, so it runs on the
+    # device concurrently with the host-side folded-identity check below
+    # (device round trips here cost ~25 ms; overlap hides most of one).
+    comms_x = (
+        wire_comms
+        + vk.fixed_commitments
+        + vk.sigma_commitments
+        + vk.table_commitments
+        + m_comms
+        + a_comms
+        + [z_comm]
+        + h_comms
+        + piece_comms
+    )
+    comms_w = [z_comm] + h_comms
+
+    vpow_x, vpow_w = [], []
+    v1 = v2 = 0
+    vp = 1
+    for e in evals_x:
+        vpow_x.append(vp)
+        v1 = (v1 + vp * e) % R
+        vp = vp * v % R
+    vp = 1
+    for e in evals_w:
+        vpow_w.append(vp)
+        v2 = (v2 + vp * e) % R
+        vp = vp * v % R
+
+    xw_pt = x * omega % R
+    # e(pi_x + u pi_w, [tau]_2) == e(E1 + x pi_x + u(E2 + xw pi_w), [1]_2)
+    # The whole RHS fold — Σ v^p C_p + u Σ v^p C'_p − (v1 + u v2)·G
+    # + x·pi_x + u·xw·pi_w — is ONE ~50-point device MSM instead of ~50
+    # host double-and-add ladders (the 0.7 s hot spot of the r3 verifier).
+    pts = comms_x + comms_w + [curve.G1_GEN, pi_x, pi_w]
+    scs = (
+        vpow_x
+        + [u * vp % R for vp in vpow_w]
+        + [(-(v1 + u * v2)) % R, x, u * xw_pt % R]
+    )
+    finish_rhs = msm.run_msm_async(scs, pts)
 
     # --- the folded identity at x ---------------------------------------
     xn = pow(x, n, R)
@@ -1168,47 +1226,17 @@ def _verify_inner(vk: VerifyingKey, proof: bytes, public_inputs: list[int]) -> b
         xp = xp * xn % R
     assert acc == van_x * t_at_x % R, "folded identity fails at x"
 
-    # --- GWC batched opening check ---------------------------------------
-    comms_x = (
-        wire_comms
-        + vk.fixed_commitments
-        + vk.sigma_commitments
-        + vk.table_commitments
-        + m_comms
-        + a_comms
-        + [z_comm]
-        + h_comms
-        + piece_comms
-    )
-    comms_w = [z_comm] + h_comms
-
-    # scalar folds (host, O(#polys) small-int work)
-    vpow_x, vpow_w = [], []
-    v1 = v2 = 0
-    vp = 1
-    for e in evals_x:
-        vpow_x.append(vp)
-        v1 = (v1 + vp * e) % R
-        vp = vp * v % R
-    vp = 1
-    for e in evals_w:
-        vpow_w.append(vp)
-        v2 = (v2 + vp * e) % R
-        vp = vp * v % R
-
-    xw = x * omega % R
-    # e(pi_x + u pi_w, [tau]_2) == e(E1 + x pi_x + u(E2 + xw pi_w), [1]_2)
-    # The whole RHS fold — Σ v^p C_p + u Σ v^p C'_p − (v1 + u v2)·G
-    # + x·pi_x + u·xw·pi_w — is ONE ~50-point device MSM instead of ~50
-    # host double-and-add ladders (the 0.7 s hot spot of the r3 verifier).
-    pts = comms_x + comms_w + [curve.G1_GEN, pi_x, pi_w]
-    scs = (
-        vpow_x
-        + [u * vp % R for vp in vpow_w]
-        + [(-(v1 + u * v2)) % R, x, u * xw % R]
-    )
-    rhs_g1 = msm.run_msm(scs, pts)
+    # --- pairing: LHS Miller loop overlaps the in-flight device MSM -------
     lhs_g1 = curve.g1_add(pi_x, curve.g1_mul(pi_w, u))
-    return curve.pairing_check(
-        [(lhs_g1, vk.srs_g2_tau), (curve.g1_neg(rhs_g1), vk.srs_g2_gen)]
-    )
+    f = curve.FQ12_ONE
+    if lhs_g1 is not None:
+        f = curve.miller_loop_lines(lhs_g1, curve._g2_lines(vk.srs_g2_tau))
+    rhs_g1 = finish_rhs()
+    if rhs_g1 is not None:
+        f = curve.fq12_mul(
+            f,
+            curve.miller_loop_lines(
+                curve.g1_neg(rhs_g1), curve._g2_lines(vk.srs_g2_gen)
+            ),
+        )
+    return curve.final_exponentiation(f) == curve.FQ12_ONE

@@ -33,6 +33,59 @@ def test_pairing_bilinear():
     )
 
 
+def test_final_exponentiation_chain_exact():
+    """The Scott-et-al. hard-part addition chain is the EXACT exponent
+    (q^4-q^2+1)/r: (a) symbolically, replaying the chain on integer
+    exponents mod the cyclotomic order; (b) on a real Miller value against
+    the generic 3046-bit ladder."""
+    M = c.Q**4 - c.Q**2 + 1
+    hard = M // c.R
+    x = c.BN_T
+
+    def exp_u(e):
+        return e * x % M
+
+    def sqr(e):
+        return 2 * e % M
+
+    def mul(a, b):
+        return (a + b) % M
+
+    f = 1
+    fx, fx2 = exp_u(f), exp_u(exp_u(f))
+    fx3 = exp_u(fx2)
+    y0 = mul(mul(f * c.Q % M, f * c.Q**2 % M), f * c.Q**3 % M)
+    y1 = -f % M
+    y2 = fx2 * c.Q**2 % M
+    y3 = -(fx * c.Q) % M
+    y4 = -mul(fx, fx2 * c.Q % M) % M
+    y5 = -fx2 % M
+    y6 = -mul(fx3, fx3 * c.Q % M) % M
+    t0 = mul(mul(sqr(y6), y4), y5)
+    t1 = mul(mul(y3, y5), t0)
+    t0 = mul(t0, y2)
+    t1 = sqr(mul(sqr(t1), t0))
+    t0 = mul(t1, y1)
+    t1 = mul(t1, y0)
+    assert mul(sqr(t0), t1) == hard % M
+
+    P = c.g1_mul(c.G1_GEN, 987654321)
+    Q_ = c.g2_mul(c.G2_GEN, 123456789)
+    mf = c.miller_loop(P, Q_)
+    assert c.final_exponentiation(mf) == c.final_exponentiation_generic(mf)
+
+
+def test_precomputed_line_miller_parity():
+    """miller_loop_lines against cached G2 line coefficients is bit-equal
+    to the on-the-fly miller_loop, for generator and non-generator args."""
+    rng = random.Random(3)
+    for _ in range(3):
+        P = c.g1_mul(c.G1_GEN, rng.randrange(1, c.R))
+        Q_ = c.g2_mul(c.G2_GEN, rng.randrange(1, c.R))
+        lines = c.precompute_g2_lines(Q_)
+        assert c.miller_loop_lines(P, lines) == c.miller_loop(P, Q_)
+
+
 def test_vectorized_point_ops_match_host():
     rng = random.Random(0)
     pts = [c.g1_mul(c.G1_GEN, rng.randrange(1, c.R)) for _ in range(8)]
