@@ -225,12 +225,15 @@ def bench_sha_configs(out):
             out[f"{key}_config"] = d.get("config")
             out[f"{key}_prove_warm_s"] = d.get("prove_warm_s")
             out[f"{key}_verify_s"] = d.get("verify_warm_s", d.get("verify_s"))
-    smoke = os.path.join(here, "TPU_SMOKE_r04.json")
-    if os.path.exists(smoke):
-        with open(smoke) as f:
+    import glob
+
+    smokes = sorted(glob.glob(os.path.join(here, "TPU_SMOKE_r*.json")))
+    if smokes:
+        with open(smokes[-1]) as f:
             s = json.load(f)
         out["tpu_smoke_passed"] = s.get("all_passed")
         out["tpu_smoke_wall_s"] = s.get("wall_s")
+        out["tpu_smoke_artifact"] = os.path.basename(smokes[-1])
 
 
 def main():

@@ -11,12 +11,40 @@ regions).
 
 from __future__ import annotations
 
+import functools
+
 from ..circuit.builder import Builder, Cell
 from ..circuit.main_gate import MainGate
 from ..circuit.range_chip import NUM_LOOKUP_LIMBS, RangeChip, sublimb_bit_len
 from .types import FRESH, MULED, AssignedInteger, RefreshAux
 
 
+def tag_ops(cls):
+    """Wrap every public chip method so its gate rows carry the op name
+    (``Builder.op``) — the provenance behind ``checker.explain``'s
+    MockProver-style failure locations."""
+    for name, fn in list(vars(cls).items()):
+        if (
+            name.startswith("_")
+            or not callable(fn)
+            or isinstance(fn, (staticmethod, classmethod))
+            or isinstance(vars(cls).get(name), (staticmethod, classmethod))
+        ):
+            continue
+
+        def _make(name, fn):
+            @functools.wraps(fn)
+            def wrapped(self, *args, **kwargs):
+                with self.b.op(name):
+                    return fn(self, *args, **kwargs)
+
+            return wrapped
+
+        setattr(cls, name, _make(name, fn))
+    return cls
+
+
+@tag_ops
 class BigIntChip:
     """Chip over a trace builder; ``limb_width``/``bits_len`` as in
     ``BigIntChip::new`` (chip.rs:1174-1185)."""

@@ -30,6 +30,7 @@ shardable gather + field-evaluation kernel (see ``checker.py``).
 
 from __future__ import annotations
 
+import contextlib
 from typing import NamedTuple
 
 from ..fields.field import PrimeField
@@ -67,9 +68,30 @@ class Builder:
         # ("divmod", a_cells, b_cells|None, n_cells, limb_width) or
         # ("sub", a_cells, b_cells, limb_width)
         self.bigops: list[tuple] = []
+        # --- gate provenance (MockProver-style failure locating) ----------
+        # One entry per gate row: the "/"-joined path of gadget ops active
+        # when the row was recorded (e.g. "pow_mod_fixed_exp/mul_mod"), or
+        # "" outside any tagged op. The capability of halo2 MockProver's
+        # typed ``VerifyFailure`` (its per-region constraint locations,
+        # /root/reference/src/big_integer/chip.rs:1433-1458): a failing row
+        # names the gadget call that emitted it (see checker.explain).
+        self.gate_tags: list[str] = []
+        self._op_stack: list[str] = []
+        self._op_path: str = ""
         # Cell 0 is the constant 0; unused gate slots point at it (with zero
         # coefficient), keeping the trace rectangular.
         self.zero = self.assign_constant(0)
+
+    @contextlib.contextmanager
+    def op(self, name: str):
+        """Tag gate rows recorded inside the block with the gadget-op path."""
+        self._op_stack.append(name)
+        self._op_path = "/".join(self._op_stack)
+        try:
+            yield
+        finally:
+            self._op_stack.pop()
+            self._op_path = "/".join(self._op_stack)
 
     # --- core primitives -------------------------------------------------
 
@@ -103,6 +125,7 @@ class Builder:
         assert len(s) == 5 and len(q) == 8
         self.gate_idx.append(tuple(s))
         self.gate_coef.append(q)
+        self.gate_tags.append(self._op_path)
 
     def lookup(self, cell: Cell, bits: int) -> None:
         """Record that w[cell] must lie in [0, 2^bits)."""

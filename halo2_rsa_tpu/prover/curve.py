@@ -456,7 +456,8 @@ def _hard_part(f):
 
 
 def final_exponentiation(f):
-    """f^((q^12 - 1) / r): easy part + Fuentes-Castañeda hard-part chain."""
+    """f^((q^12 - 1) / r): easy part + the Scott et al. 2009 exact
+    hard-part addition chain (see :func:`_hard_part`)."""
     return _hard_part(_easy_part(f))
 
 
@@ -472,7 +473,15 @@ def precompute_g2_lines(Q_):
     anchor point, from which the sparse Fq12 line at any G1 point follows
     with 2 Fq2 scalings (see :func:`_line_sparse`). Verification pairs every
     proof against the same two SRS G2 points, so these are computed once per
-    verifying key (halo2's analog: the G2 prep baked into ParamsVerifierKZG)."""
+    verifying key (halo2's analog: the G2 prep baked into ParamsVerifierKZG).
+
+    Precondition: ``Q_`` must be a non-identity point of the r-order G2
+    subgroup (true for any honest SRS point). Enforced here because the
+    doubling/chord slopes below divide by 2*y_T and x_Q - x_T, which only a
+    small-order or identity point can drive to zero."""
+    assert Q_ is not None and g2_mul(Q_, R) is None, (
+        "precompute_g2_lines requires a non-identity r-order G2 point"
+    )
     lines = []
     T = Q_
     for bit in _ATE_BITS:
@@ -494,11 +503,16 @@ def precompute_g2_lines(Q_):
 
 
 _G2_LINE_CACHE: dict = {}
+_G2_LINE_CACHE_MAX = 16  # a vk pairs against 2 fixed SRS points; 16 covers
+# every vk a process realistically holds while bounding memory (each entry
+# is a ~130-line list).
 
 
 def _g2_lines(Q_):
     hit = _G2_LINE_CACHE.get(Q_)
     if hit is None:
+        if len(_G2_LINE_CACHE) >= _G2_LINE_CACHE_MAX:
+            _G2_LINE_CACHE.pop(next(iter(_G2_LINE_CACHE)))
         hit = _G2_LINE_CACHE[Q_] = precompute_g2_lines(Q_)
     return hit
 

@@ -104,6 +104,40 @@ def point_add(p1, p2):
     return (x3, y3, z3)
 
 
+def point_add_mixed(p1, p2xy):
+    """Mixed addition: projective p1 + AFFINE p2 = (x2, y2) (RCB15
+    algorithm 8, a=0). Complete for any p1 — including the identity —
+    provided p2 is a real affine point. 11 muls vs 12 for the general
+    formula, one fewer coordinate stream. Used by the MSM bucket scan when
+    the base points are the affine SRS powers (``z_one``)."""
+    if _pallas_point_dispatch(tuple(p1) + tuple(p2xy)):
+        from . import pallas_g1
+
+        return pallas_g1.point_add_mixed_pallas(FQ, p1, p2xy)
+    x1, y1, z1 = p1
+    x2, y2 = p2xy
+    t0, t1, t3, ty, tx = _mul_many(
+        (x1, y1, _add(FQ, x2, y2), y2, x2),
+        (x2, y2, _add(FQ, x1, y1), z1, z1),
+    )
+    t3 = _sub(FQ, t3, _add(FQ, t0, t1))  # X1Y2 + X2Y1
+    t4 = _add(FQ, ty, y1)  # Y1 + Y2Z1
+    y3 = _add(FQ, tx, x1)  # X1 + X2Z1
+    trip0 = _add(FQ, _add(FQ, t0, t0), t0)  # 3*X1X2
+    t2 = _mul9(z1)  # b3*Z1
+    z3 = _add(FQ, t1, t2)
+    t1 = _sub(FQ, t1, t2)
+    y3 = _mul9(y3)  # b3*(X1 + X2Z1)
+    m0, m1, m2, m3, m4, m5 = _mul_many(
+        (t4, t3, y3, t1, trip0, z3),
+        (y3, t1, trip0, z3, t3, t4),
+    )
+    x3 = _sub(FQ, m1, m0)
+    y3 = _add(FQ, m3, m2)
+    z3 = _add(FQ, m5, m4)
+    return (x3, y3, z3)
+
+
 def point_double(p):
     """Complete projective doubling (RCB15 algorithm 9, a=0). 7 muls in
     three batched layers, or one fused Pallas kernel for large batches."""

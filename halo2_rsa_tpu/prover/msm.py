@@ -42,7 +42,14 @@ from ..fields import vecfield
 from ..fields.field import NUM_LIMBS
 from ..utils.xjit import fjit
 from . import curve, g1_vec
-from .g1_vec import identity, point_add, point_double, point_neg, point_select
+from .g1_vec import (
+    identity,
+    point_add,
+    point_add_mixed,
+    point_double,
+    point_neg,
+    point_select,
+)
 
 SCALAR_BITS = 256  # Fr scalars < 2^254
 
@@ -109,11 +116,10 @@ def _bucket_sums(digits, points, num_buckets: int, z_one: bool = False):
     order = jnp.argsort(digits, axis=1)  # (W, N)
     ds = jnp.take_along_axis(digits, order, axis=1)
     if z_one:
-        from .g1_vec import FQ
-
-        gathered = tuple(c[order] for c in points[:2])
-        ones = jnp.broadcast_to(jnp.asarray(FQ.r_limbs), gathered[0].shape)
-        ps = gathered + (ones,)
+        # affine base points: gather only (x, y); the scan uses the MIXED
+        # add (RCB15 alg 8, complete for affine second operand), saving a
+        # mul per add and the whole broadcast-Z coordinate stream
+        ps = tuple(c[order] for c in points[:2])
     else:
         ps = tuple(c[order] for c in points)  # (W, N, 16)
 
@@ -122,8 +128,17 @@ def _bucket_sums(digits, points, num_buckets: int, z_one: bool = False):
     if npad > n:
         pad = npad - n
         ds = jnp.concatenate([ds, jnp.full((w, pad), num_buckets, ds.dtype)], axis=1)
-        ident = identity((w, pad))
-        ps = tuple(jnp.concatenate([c, ic], axis=1) for c, ic in zip(ps, ident))
+        if z_one:
+            # pad with a REAL affine point (the generator): its digit
+            # num_buckets sorts after every live element, so no bucket
+            # boundary ever reads a prefix containing it (see gather_pts)
+            gen = g1_vec.points_to_device([curve.G1_GEN])
+            padp = tuple(
+                jnp.broadcast_to(c, (w, pad, 16)) for c in gen[:2]
+            )
+        else:
+            padp = identity((w, pad))
+        ps = tuple(jnp.concatenate([c, ic], axis=1) for c, ic in zip(ps, padp))
     n_chunks = npad // c_len
     p3 = tuple(c.reshape(w, n_chunks, c_len, 16) for c in ps)
 
@@ -136,7 +151,7 @@ def _bucket_sums(digits, points, num_buckets: int, z_one: bool = False):
         x = tuple(
             jax.lax.dynamic_slice_in_dim(c, j, 1, axis=2)[:, :, 0] for c in p3
         )
-        acc = point_add(acc, x)
+        acc = point_add_mixed(acc, x) if z_one else point_add(acc, x)
         within = tuple(
             jax.lax.dynamic_update_slice_in_dim(o, a[:, :, None], j, axis=2)
             for o, a in zip(within, acc)
@@ -152,12 +167,13 @@ def _bucket_sums(digits, points, num_buckets: int, z_one: bool = False):
         jnp.concatenate([i1, c[:, :-1]], axis=1) for c, i1 in zip(incl, ident1)
     )
 
-    # 3) splice: add each chunk's offset to its within-chunk scans (one add)
-    offs = tuple(jnp.broadcast_to(c[:, :, None, :], p.shape) for c, p in zip(excl, p3))
-    full = point_add(within, offs)
-    flat = tuple(c.reshape(w, npad, 16) for c in full)
+    flat_within = tuple(c.reshape(w, npad, 16) for c in within)
 
-    # 4) bucket_b = scan[end_b] - scan[end_{b-1}] (difference of prefix sums)
+    # 3+4) bucket_b = scan[end_b] - scan[end_{b-1}] (difference of prefix
+    # sums), where scan[i] = within[i] + chunk_offset[i // C]. The offsets
+    # are spliced in ONLY at the ~B bucket boundaries actually read — a
+    # (W, B) point-add per gather instead of the former full-width (W, N)
+    # add over every element (that add was ~half the pipeline's EC work).
     targets = jnp.arange(num_buckets, dtype=ds.dtype)
     ss = jax.vmap(lambda row: jnp.searchsorted(row, targets, side="right"))(ds)
     ends = ss.astype(jnp.int32) - 1  # (W, B); -1 => empty prefix
@@ -167,7 +183,14 @@ def _bucket_sums(digits, points, num_buckets: int, z_one: bool = False):
 
     def gather_pts(idx):
         cl = jnp.maximum(idx, 0)
-        pts = tuple(jnp.take_along_axis(c, cl[..., None], axis=1) for c in flat)
+        wpts = tuple(
+            jnp.take_along_axis(c, cl[..., None], axis=1) for c in flat_within
+        )
+        opts = tuple(
+            jnp.take_along_axis(c, (cl // c_len)[..., None], axis=1)
+            for c in excl
+        )
+        pts = point_add(wpts, opts)
         return point_select(idx >= 0, pts, identity((w, num_buckets)))
 
     e_pts = gather_pts(ends)

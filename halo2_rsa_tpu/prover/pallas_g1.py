@@ -77,6 +77,47 @@ def _point_add_kernel(p_limbs, n0inv, x1r, y1r, z1r, x2r, y2r, z2r,
         z3r[j, :] = z3[j]
 
 
+def _point_add_mixed_kernel(p_limbs, n0inv, x1r, y1r, z1r, x2r, y2r,
+                            x3r, y3r, z3r):
+    """RCB15 algorithm 8 (a=0, b3=9, Z2=1): P1 projective + P2 AFFINE.
+
+    Complete for any P1 (including the identity) as long as P2 is a real
+    affine point — the MSM bucket scan's shape when the base points are the
+    affine SRS powers (``z_one``). 11 muls vs algorithm 7's 12, ~30% fewer
+    adds, and one fewer input coordinate stream."""
+    ld = lambda ref: [ref[i, :] for i in range(NUM_LIMBS)]
+    x1, y1, z1 = ld(x1r), ld(y1r), ld(z1r)
+    x2, y2 = ld(x2r), ld(y2r)
+    mul = lambda a, b: _cios_rows(a, b, p_limbs, n0inv)
+    add = lambda a, b: _add_rows(a, b, p_limbs)
+    sub = lambda a, b: _sub_rows(a, b, p_limbs)
+
+    t0 = mul(x1, x2)
+    t1 = mul(y1, y2)
+    t3 = sub(mul(add(x2, y2), add(x1, y1)), add(t0, t1))  # X1Y2 + X2Y1
+    t4 = add(mul(y2, z1), y1)  # Y1 + Y2Z1
+    y3 = add(mul(x2, z1), x1)  # X1 + X2Z1
+    trip0 = add(add(t0, t0), t0)  # 3*X1X2
+    t2 = _mul9_rows(z1, p_limbs)  # b3*Z1
+    z3t = add(t1, t2)
+    t1 = sub(t1, t2)
+    y3 = _mul9_rows(y3, p_limbs)  # b3*(X1 + X2Z1)
+
+    m0 = mul(t4, y3)
+    m1 = mul(t3, t1)
+    m2 = mul(y3, trip0)
+    m3 = mul(t1, z3t)
+    m4 = mul(trip0, t3)
+    m5 = mul(z3t, t4)
+    x3 = sub(m1, m0)
+    y3o = add(m3, m2)
+    z3 = add(m5, m4)
+    for j in range(NUM_LIMBS):
+        x3r[j, :] = x3[j]
+        y3r[j, :] = y3o[j]
+        z3r[j, :] = z3[j]
+
+
 def _point_double_kernel(p_limbs, n0inv, xr, yr, zr, x3r, y3r, z3r):
     """RCB15 algorithm 9 (a=0, b3=9), mirroring g1_vec.point_double."""
     ld = lambda ref: [ref[i, :] for i in range(NUM_LIMBS)]
@@ -117,6 +158,11 @@ def _build_call(kind: str, p_limbs: tuple, n0inv: int, n: int, block: int,
     if kind == "add":
         kern = functools.partial(_point_add_kernel, p_limbs, np.uint32(n0inv))
         n_in = 6
+    elif kind == "madd":
+        kern = functools.partial(
+            _point_add_mixed_kernel, p_limbs, np.uint32(n0inv)
+        )
+        n_in = 5
     else:
         kern = functools.partial(_point_double_kernel, p_limbs, np.uint32(n0inv))
         n_in = 3
@@ -170,6 +216,24 @@ def point_add_pallas(fq: FieldConsts, p1, p2, interpret: bool | None = None):
     arrs, n, granule = _to_kernel_layout(list(p1) + list(p2), batch, interpret)
     call = _build_call(
         "add", tuple(int(x) for x in fq.p_limbs), int(fq.n0inv),
+        arrs[0].shape[1], min(granule, _G1_BLOCK), interpret,
+    )
+    outs = call(*arrs)
+    return tuple(
+        jnp.transpose(o, (1, 0))[:n].reshape(batch + (NUM_LIMBS,)) for o in outs
+    )
+
+
+def point_add_mixed_pallas(fq: FieldConsts, p1, p2xy,
+                           interpret: bool | None = None):
+    """Fused mixed addition: projective p1 + affine (x2, y2) batches."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    coords = list(p1) + list(p2xy)
+    batch = jnp.broadcast_shapes(*[c.shape[:-1] for c in coords])
+    arrs, n, granule = _to_kernel_layout(coords, batch, interpret)
+    call = _build_call(
+        "madd", tuple(int(x) for x in fq.p_limbs), int(fq.n0inv),
         arrs[0].shape[1], min(granule, _G1_BLOCK), interpret,
     )
     outs = call(*arrs)

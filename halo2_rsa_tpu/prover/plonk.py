@@ -219,6 +219,23 @@ def _keygen_vals_graph(k_mont, omega_pows, sigma_cells, n):
     return id_vals, sigma_vals
 
 
+def rows_needed(compiled: CompiledCircuit) -> int:
+    """Rows the circuit occupies: gates + public-input rows, the largest
+    lookup table (2^bits rows), and the longest lookup input column."""
+    table_sizes = [1 << bits for bits, _ in compiled.lookup_groups]
+    lookup_counts = [idx.shape[0] for _, idx in compiled.lookup_groups]
+    return max(
+        compiled.num_gates + len(compiled.instance_idx),
+        max(table_sizes, default=1),
+        max(lookup_counts, default=1),
+    )
+
+
+def min_k(compiled: CompiledCircuit) -> int:
+    """Smallest k with 2^k >= rows_needed (what keygen picks for k=None)."""
+    return max(2, (rows_needed(compiled) - 1).bit_length())
+
+
 def keygen(compiled: CompiledCircuit, srs: kzg.SRS, k: int | None = None):
     """Build proving/verifying keys from a compiled trace.
 
@@ -230,16 +247,12 @@ def keygen(compiled: CompiledCircuit, srs: kzg.SRS, k: int | None = None):
     num_pub = len(compiled.instance_idx)
     lookup_groups = compiled.lookup_groups
     num_tables = len(lookup_groups)
-    table_sizes = [1 << bits for bits, _ in lookup_groups]
-    lookup_counts = [idx.shape[0] for _, idx in lookup_groups]
 
-    rows_needed = max(
-        R_rows + num_pub, max(table_sizes, default=1), max(lookup_counts, default=1)
-    )
+    rows_need = rows_needed(compiled)
     if k is None:
-        k = max(2, (rows_needed - 1).bit_length())
+        k = min_k(compiled)
     n = 1 << k
-    assert n >= rows_needed, f"circuit needs {rows_needed} rows > 2^{k}"
+    assert n >= rows_need, f"circuit needs {rows_need} rows > 2^{k}"
 
     num_wires = 5 + num_tables
     # Degree bound: the chunked permutation identities (see _perm_chunks)
@@ -286,6 +299,7 @@ def keygen(compiled: CompiledCircuit, srs: kzg.SRS, k: int | None = None):
 
     # --- lookup tables: t_j = j for j < 2^bits else 0 ---------------------
     if num_tables:
+        table_sizes = [1 << bits for bits, _ in lookup_groups]
         tv = np.zeros((num_tables, n, 16), np.uint32)
         for t, size in enumerate(table_sizes):
             vals = np.arange(n, dtype=np.uint32)
@@ -1058,7 +1072,11 @@ def _absorb_vk(t, vk: VerifyingKey, pubs) -> None:
 def verify(vk: VerifyingKey, proof: bytes, public_inputs: list[int]) -> bool:
     try:
         return _verify_inner(vk, proof, public_inputs)
-    except (AssertionError, IndexError, ValueError, TypeError):
+    except (AssertionError, IndexError, ValueError):
+        # Adversarial proof bytes surface as these three (transcript
+        # bounds/range/off-curve checks). Anything else — e.g. a TypeError
+        # from a genuine implementation bug — is deliberately NOT caught:
+        # it should crash, not masquerade as an invalid proof.
         return False
 
 

@@ -8,7 +8,7 @@ v1.5 encoded-message structure check with the reference's exact constants.
 
 from __future__ import annotations
 
-from ..bigint.chip import BigIntChip
+from ..bigint.chip import BigIntChip, tag_ops
 from ..bigint.types import AssignedInteger
 from ..circuit.builder import Builder, Cell
 from ..circuit.range_chip import NUM_LOOKUP_LIMBS
@@ -28,6 +28,7 @@ FF_64 = 18446744073709551615
 LAST_EM = 562949953421311
 
 
+@tag_ops
 class RSAChip:
     """``RSAChip::new(config, bits_len, exp_limb_bits)`` analog
     (chip.rs:214-221); LIMB_WIDTH fixed at 64 (chip.rs:203)."""

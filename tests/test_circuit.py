@@ -147,3 +147,43 @@ def test_constant_dedup(field):
     c = mg.assign_constant(9)
     assert a.idx == c.idx
     assert checker.run(b)["ok"]
+
+
+def test_explain_names_failing_op():
+    """MockProver-grade diagnostics (VerifyFailure capability,
+    /root/reference/src/big_integer/chip.rs:1454-1458): a corrupted bigint
+    witness must be located by originating gadget op, row, and cells."""
+    from halo2_rsa_tpu.bigint import BigIntChip
+    from halo2_rsa_tpu.fields import BN254_FR
+
+    b = Builder(BN254_FR)
+    chip = BigIntChip(b, 64, 128)
+    a = chip.assign_integer(0x1234567890ABCDEF)
+    n = chip.assign_integer((1 << 127) + 1)
+    r = chip.mul_mod(a, a, n)
+    w = checker.witness_limbs(b)
+    assert checker.explain(b, w) == []  # honest witness: no failures
+
+    w2 = w.copy()
+    w2[r.limb(0).idx][0] ^= 1  # corrupt one limb of the mul_mod result
+    fails = checker.explain(b, w2, limit=5)
+    assert fails, "corruption must be detected"
+    assert any("mul_mod" in f.get("op", "") for f in fails), fails
+    gate_fail = next(f for f in fails if f["kind"] == "gate")
+    assert r.limb(0).idx in gate_fail["cells"] or gate_fail["row"] >= 0
+    text = checker.format_failures(fails)
+    assert "mul_mod" in text and "row" in text
+
+
+def test_explain_locates_lookup_failure():
+    from halo2_rsa_tpu.fields import BN254_FR
+
+    b = Builder(BN254_FR)
+    rc = RangeChip(b)
+    cell = rc.assign(200, 8, 8)
+    b.values[cell.idx - 1] = 300
+    b.values[cell.idx] = 300
+    fails = checker.explain(b, limit=10)
+    assert any(f["kind"] == "lookup" for f in fails)
+    lk = next(f for f in fails if f["kind"] == "lookup")
+    assert lk["value"] == 300 and lk["bits"] == 8

@@ -150,3 +150,18 @@ def test_msm_point_axis_segmentation(monkeypatch):
     monkeypatch.setattr(msm, "_SEG", 64)
     got = msm.run_msm(scalars, pts)
     assert got == want == msm.msm_host(scalars, pts)
+
+
+def test_point_add_mixed_parity():
+    """RCB15 alg-8 mixed add (projective + affine) must match the host EC
+    group law, including the identity and doubling (P+P) corner cases."""
+    from halo2_rsa_tpu.prover import curve, g1_vec
+
+    pts = [curve.g1_mul(curve.G1_GEN, i + 1) for i in range(6)]
+    lhs = [None, pts[0], pts[1], pts[0], pts[3], pts[4]]
+    p1 = g1_vec.points_to_device(lhs)
+    p2 = g1_vec.points_to_device(pts)
+    mixed = g1_vec.point_add_mixed(p1, tuple(c for c in p2[:2]))
+    got = g1_vec.points_from_device(mixed)
+    want = [curve.g1_add(a, b) for a, b in zip(lhs, pts)]
+    assert got == want

@@ -56,12 +56,17 @@ def test_zero_knowledge_blinding():
 
 
 def test_off_curve_point_rejected():
-    """Splicing an off-curve G1 point into a valid proof must fail at
-    transcript read (capability of halo2 Blake2bRead's point decompression,
-    /root/reference/benches/bench.rs:334-343): the verifier must never feed
-    adversarial coordinates into the pairing check."""
+    """Splicing an invalid compressed G1 encoding into a valid proof must
+    fail at transcript read (capability of halo2 Blake2bRead's compressed
+    point decompression, /root/reference/benches/bench.rs:334-343): the
+    verifier must never feed adversarial coordinates into the pairing
+    check."""
     from halo2_rsa_tpu.prover import curve
-    from halo2_rsa_tpu.prover.transcript import TranscriptReader
+    from halo2_rsa_tpu.prover.transcript import (
+        TranscriptReader,
+        compress_g1,
+        decompress_g1,
+    )
 
     b, out = _small_arith_builder()
     compiled = checker.compile_circuit(b)
@@ -70,24 +75,44 @@ def test_off_curve_point_rejected():
     proof = plonk.prove(pk, b.values, [out], rng=random.Random(9))
     assert plonk.verify(vk, proof, [out])
 
-    # first 64 bytes = first wire commitment (x || y little-endian).
-    x = int.from_bytes(proof[:32], "little")
-    y = int.from_bytes(proof[32:64], "little")
-    assert curve.g1_is_on_curve((x, y))
-    y_bad = (y + 1) % curve.Q
-    bad = (
-        proof[:32] + y_bad.to_bytes(32, "little") + proof[64:]
-    )
-    assert not curve.g1_is_on_curve((x, y_bad))
+    # first 32 bytes = first wire commitment, compressed (x LE + parity bit)
+    p0 = decompress_g1(proof[:32])
+    assert curve.g1_is_on_curve(p0)
+    assert compress_g1(p0) == proof[:32]
+
+    # (a) x whose x^3+3 is a non-residue: no curve point -> reader rejects
+    x = p0[0]
+    x_bad = x
+    while True:
+        x_bad = (x_bad + 1) % curve.Q
+        rhs = (x_bad * x_bad % curve.Q * x_bad + 3) % curve.Q
+        if pow(rhs, (curve.Q - 1) // 2, curve.Q) != 1:
+            break
+    bad = bytearray(x_bad.to_bytes(32, "little"))
+    bad[31] |= proof[31] & 0x80
+    bad = bytes(bad) + proof[32:]
     assert not plonk.verify(vk, bad, [out])
-    # and the reader itself rejects it (not some later algebra failure)
-    r = TranscriptReader(bad)
     with pytest.raises(AssertionError):
-        r.read_point()
-    # out-of-field coordinate also rejected
-    x_big = curve.Q  # == Q, out of range
-    bad2 = x_big.to_bytes(32, "little") + proof[32:]
+        TranscriptReader(bad).read_point()
+
+    # (b) out-of-field x (= Q) rejected
+    bad2 = curve.Q.to_bytes(32, "little") + proof[32:]
     assert not plonk.verify(vk, bad2, [out])
+    with pytest.raises(AssertionError):
+        TranscriptReader(bad2).read_point()
+
+    # (c) reserved flag bit rejected
+    bad3 = proof[:31] + bytes([proof[31] | 0x40]) + proof[32:]
+    assert not plonk.verify(vk, bad3, [out])
+    with pytest.raises(AssertionError):
+        TranscriptReader(bad3).read_point()
+
+    # (d) flipped parity bit = the NEGATED point: decompresses fine but the
+    # proof must no longer verify (soundness, not parsing)
+    bad4 = proof[:31] + bytes([proof[31] ^ 0x80]) + proof[32:]
+    neg = TranscriptReader(bad4).read_point()
+    assert neg == (p0[0], curve.Q - p0[1])
+    assert not plonk.verify(vk, bad4, [out])
 
 
 def test_prove_verify_copy_violation_rejected():
