@@ -115,6 +115,12 @@ class FieldConsts:
     Hashable by identity; always obtain via :func:`consts` so jit caches hit.
     """
 
+    def __repr__(self) -> str:
+        # stable across processes (the default id()-based repr is not):
+        # FieldConsts appears as a static jit arg, and utils.xjit's AOT
+        # cache keys hash static reprs
+        return f"FieldConsts({self.field.name}, p={self.field.p:#x})"
+
     def __init__(self, field: PrimeField):
         # All constants are *numpy* arrays: they embed into lowered programs
         # directly, with no device->host copies at trace/lower time (which

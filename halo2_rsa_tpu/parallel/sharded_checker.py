@@ -219,4 +219,8 @@ class WireShardedChecker:
         wires, lk_vals = routed
         viol = self._check(self._lookup_bits, self.coef_id, self.coef_table,
                            wires, *lk_vals)
+        if not viol.is_fully_addressable:
+            # multi-process mesh: some shards live in other processes;
+            # return the global device array and let the caller allgather
+            return viol
         return np.asarray(viol)

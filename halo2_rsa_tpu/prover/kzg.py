@@ -22,7 +22,7 @@ import numpy as np
 
 from ..fields import vecfield
 from ..utils.xjit import fjit
-from ..fields.field import BN254_FR
+from ..fields.field import BN254_FR, NUM_LIMBS
 from ..fields.vecfield import add as _vadd, mont_mul as _vmul
 from . import curve, g1_vec, msm
 from .g1_vec import FQ, identity, point_add, point_select
@@ -45,38 +45,71 @@ class SRS:
         return g1_vec.points_from_device(self.g1_powers)
 
 
+# Fixed-base segment length: one compiled (and AOT-cached) class serves
+# every SRS size >= 2^15 — k=15..18 all reuse the same executable.
+_FB_SEG = 1 << 15
+
+
+@fjit
+def _fb_table(base_dev):
+    """(32,16)x3 window bases B_w = 2^{8w}*G -> (32,256,16)x3 tables
+    T[w,j] = j*B_w, built by one 256-step scan of 32-wide point adds."""
+
+    def step(prev, _):
+        return point_add(prev, base_dev), prev
+
+    _, rows = jax.lax.scan(step, identity((32,)), None, length=256)
+    return tuple(jnp.swapaxes(r, 0, 1) for r in rows)  # (32,256,16)
+
+
+@fjit
+def _fb_mul(sc, table):
+    """(N,16) standard-form scalars x (32,256,16)x3 tables -> N*base.
+
+    Windowed fixed-base: 32 gather+add steps per point (vs 254
+    select+add for bitwise double-and-add) — ~8x less EC work; the
+    complete RCB15 add absorbs the digit-0 identity rows uniformly."""
+    from .msm import digits_from_scalar_limbs
+
+    digs = digits_from_scalar_limbs(sc, 8)  # (32, N)
+    n = sc.shape[0]
+
+    def step(acc, inp):
+        dig, tx, ty, tz = inp  # (N,), (256,16)x3
+        return point_add(acc, (tx[dig], ty[dig], tz[dig])), None
+
+    acc, _ = jax.lax.scan(step, identity((n,)), (digs,) + tuple(table))
+    return acc
+
+
 def fixed_base_mul_batch(scalars_int: list[int], base=curve.G1_GEN):
-    """[s_i * base] for many scalars: device double-and-add over shared
-    precomputed base powers (254 vectorized select+add steps)."""
-    n_bits = 254
-    powers = []
+    """[s_i * base] for many scalars: windowed fixed-base table on device,
+    processed in fixed 2^15-point segments (one compiled class for all k)."""
+    wbases = []
     p = base
-    for _ in range(n_bits):
-        powers.append(p)
-        p = curve.g1_add(p, p)
-    base_dev = g1_vec.points_to_device(powers)  # (254, 16) coords
-    sc = vecfield.from_ints(FR, scalars_int, mont=False)  # (N, 16)
-    bits = []
-    for b in range(n_bits):
-        limb, off = divmod(b, 16)
-        bits.append((sc[:, limb] >> off) & 1)
-    bits = jnp.stack(bits, 0).astype(bool)  # (254, N)
+    for _ in range(32):
+        wbases.append(p)
+        for _ in range(8):
+            p = curve.g1_add(p, p)
+    base_dev = g1_vec.points_to_device(wbases)  # (32,16)x3
+    table = _fb_table(base_dev)
 
-    @fjit
-    def run(bits, base_dev):
-        n = bits.shape[1]
-        acc0 = identity((n,))
-
-        def step(acc, inp):
-            bit, bp = inp
-            bp_b = tuple(jnp.broadcast_to(c[None], (n, 16)) for c in bp)
-            added = point_add(acc, bp_b)
-            return point_select(bit, added, acc), None
-
-        acc, _ = jax.lax.scan(step, acc0, (bits, base_dev))
-        return acc
-
-    return run(bits, base_dev)
+    n_total = len(scalars_int)
+    seg = min(_FB_SEG, max(32, 1 << (n_total - 1).bit_length()))
+    outs = []
+    for s in range(0, n_total, seg):
+        chunk = scalars_int[s : s + seg]
+        m = len(chunk)
+        sc = vecfield.from_ints(FR, chunk, mont=False)
+        if m < seg:
+            sc = jnp.concatenate(
+                [sc, jnp.zeros((seg - m, NUM_LIMBS), jnp.uint32)], axis=0
+            )
+        acc = _fb_mul(sc, table)
+        outs.append(tuple(c[:m] for c in acc))
+    if len(outs) == 1:
+        return outs[0]
+    return tuple(jnp.concatenate([o[c] for o in outs], axis=0) for c in range(3))
 
 
 def setup(n: int, tau: int | None = None, seed: int = 0) -> SRS:

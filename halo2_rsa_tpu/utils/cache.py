@@ -24,4 +24,10 @@ def enable_compile_cache(path: str | None = None) -> str:
                 os.path.abspath(__file__)))), ".jax_cache"),
         )
     jax.config.update("jax_compilation_cache_dir", path)
+    # Default floor (1 s) excludes the ~0.45 s-each eager-op executables
+    # (concatenate/broadcast/dynamic_slice between jitted prover stages);
+    # a fresh process replays ~100 of them — measured 45-60 s of the cold
+    # prove. Persist everything.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     return path

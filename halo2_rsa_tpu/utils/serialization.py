@@ -226,19 +226,27 @@ def load_or_keygen(compiled, k: int, keys_dir: str, tau: int = 777):
     os.makedirs(keys_dir, exist_ok=True)
     fp = circuit_fingerprint(compiled)
     base = os.path.join(keys_dir, f"{fp}_k{k}")
-    srs_path = base + "_srs.npz"
+    # the SRS depends only on (k, tau) — share it across circuits (both
+    # k=17 SHA configs load ONE powers-of-tau artifact, like any two
+    # halo2 circuits sharing a ParamsKZG file)
+    srs_path = os.path.join(keys_dir, f"srs_k{k}_t{tau}.npz")
+    if not os.path.exists(srs_path) and os.path.exists(base + "_srs.npz"):
+        srs_path = base + "_srs.npz"  # legacy per-circuit artifact
     pk_path = base + "_pk.npz"
     if os.path.exists(srs_path) and os.path.exists(pk_path):
         srs = load_srs(srs_path)
         pk = load_pk(pk_path, srs)
         return srs, pk, pk.vk, True
     n_srs = (1 << k) + plonk.BLIND
-    srs = kzg.setup(n_srs, tau=tau)
+    if os.path.exists(srs_path):
+        srs = load_srs(srs_path)
+    else:
+        srs = kzg.setup(n_srs, tau=tau)
+        # atomic writes: a driver timeout mid-save must not leave a corrupt
+        # artifact that every later run would try to load
+        save_srs(srs, srs_path[: -len(".npz")] + "_tmp")
+        os.replace(srs_path[: -len(".npz")] + "_tmp.npz", srs_path)
     pk, vk = plonk.keygen(compiled, srs, k=k)
-    # atomic writes: a driver timeout mid-save must not leave a corrupt
-    # artifact that every later run would try to load
-    save_srs(srs, base + "_srs_tmp")
-    os.replace(base + "_srs_tmp.npz", srs_path)
     save_pk(pk, base + "_pk_tmp")
     os.replace(base + "_pk_tmp.npz", pk_path)
     return srs, pk, vk, False

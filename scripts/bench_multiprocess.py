@@ -65,6 +65,13 @@ def worker(pid: int) -> None:
     )
     from halo2_rsa_tpu.prover import ntt as ntt_mod
 
+    from jax.experimental.multihost_utils import process_allgather
+
+    def fetch(x):
+        """Globally-sharded array -> full host value in every process
+        (plain device_get refuses arrays spanning non-addressable devices)."""
+        return np.asarray(process_allgather(x, tiled=True))
+
     fr = vecfield.consts(BN254_FR)
     mesh = Mesh(np.array(devs).reshape(n_global), ("rows",))
 
@@ -73,10 +80,10 @@ def worker(pid: int) -> None:
     rng = random.Random(0)
     vals = [rng.randrange(BN254_FR.p) for _ in range(1 << log_n)]
     x = jnp.asarray(vecfield.from_ints_np(fr, vals, mont=True))
-    got = np.asarray(jax.device_get(ntt_sharded(x, log_n, mesh)))
+    got = fetch(ntt_sharded(x, log_n, mesh))
     want = np.asarray(ntt_mod.ntt(x, log_n))
     assert (got == want).all(), "cross-process NTT mismatch"
-    rt = np.asarray(jax.device_get(intt_sharded(jnp.asarray(got), log_n, mesh)))
+    rt = fetch(intt_sharded(jnp.asarray(got), log_n, mesh))
     assert (rt == np.asarray(x)).all(), "cross-process iNTT mismatch"
     if pid == 0:
         print("cross-process NTT: OK", file=sys.stderr, flush=True)
@@ -99,7 +106,7 @@ def worker(pid: int) -> None:
     compiled = checker.compile_circuit(b)
     w = np.stack([checker.witness_limbs(b)] * 2)
     wc = WireShardedChecker(compiled, mesh2)
-    viol = np.asarray(jax.device_get(wc.check(wc.route(w))))
+    viol = fetch(wc.check(wc.route(w)))
     assert (viol == 0).all(), f"cross-process checker violations: {viol}"
     if pid == 0:
         print("cross-process wire checker: OK", file=sys.stderr, flush=True)

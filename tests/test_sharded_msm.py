@@ -28,9 +28,13 @@ def test_sharded_msm_matches_host():
 
 
 def test_sharded_msm_unaligned_n():
-    """N not divisible by the axis size pads with identity points."""
+    """N not divisible by the axis size pads with identity points.
+
+    n = 61 pads to the SAME 64-point shape as the aligned test above, so
+    this case reuses its compiled graph instead of compiling a second
+    size class (~50 s on the 2-CPU tier host)."""
     rng = random.Random(1)
-    n = 13
+    n = 61
     scalars = [rng.randrange(curve.R) for _ in range(n)]
     points = [curve.g1_mul(curve.G1_GEN, rng.randrange(1, curve.R)) for _ in range(n)]
     want = msm.msm_host(scalars, points)

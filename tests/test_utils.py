@@ -19,28 +19,14 @@ def test_srs_roundtrip(tmp_path):
     assert srs2.g1_affine() == srs.g1_affine()
 
 
-def test_vk_roundtrip_and_verify(tmp_path):
-    b = Builder(BN254_FR)
-    mg = MainGate(b)
-    x = mg.assign_value(6)
-    y = mg.assign_value(7)
-    out = mg.mul(x, y)
-    b.expose_public(out)
-    compiled = checker.compile_circuit(b)
-    srs = kzg.setup(1 << 7, tau=5556667)
-    pk, vk = plonk.keygen(compiled, srs, k=5)
-    proof = plonk.prove(pk, b.values, [42])
-
-    p = str(tmp_path / "vk.json")
-    serialization.save_vk(vk, p)
-    vk2 = serialization.load_vk(p)
-    assert plonk.verify(vk2, proof, [42])
-    assert not plonk.verify(vk2, proof, [43])
+import pytest
 
 
-def test_pk_roundtrip_prove_from_loaded_artifacts(tmp_path):
-    """Full persistence flow (VERDICT r1 #8): save SRS+pk+vk, reload all
-    three from disk, prove and verify from the loaded artifacts only."""
+@pytest.fixture(scope="module")
+def snark_fixture():
+    """ONE tiny circuit + keys + proof shared by the roundtrip tests:
+    the prover class set compiles once per module (each prove used to
+    recompile its own shapes — ~145 s per test on the 2-CPU tier host)."""
     b = Builder(BN254_FR)
     mg = MainGate(b)
     x = mg.assign_value(9)
@@ -50,7 +36,25 @@ def test_pk_roundtrip_prove_from_loaded_artifacts(tmp_path):
     compiled = checker.compile_circuit(b)
     srs = kzg.setup(1 << 7, tau=998877)
     pk, vk = plonk.keygen(compiled, srs, k=5)
+    proof = plonk.prove(pk, b.values, [9 * 4 + 9])
+    return b, srs, pk, vk, proof
 
+
+def test_vk_roundtrip_and_verify(tmp_path, snark_fixture):
+    _, _, _, vk, proof = snark_fixture
+    p = str(tmp_path / "vk.json")
+    serialization.save_vk(vk, p)
+    vk2 = serialization.load_vk(p)
+    assert plonk.verify(vk2, proof, [9 * 4 + 9])
+    assert not plonk.verify(vk2, proof, [43])
+
+
+def test_pk_roundtrip_prove_from_loaded_artifacts(tmp_path, snark_fixture):
+    """Full persistence flow (VERDICT r1 #8): save SRS+pk+vk, reload all
+    three from disk, prove and verify from the loaded artifacts only.
+    Shapes match :func:`snark_fixture`'s prove, so the reload-prove hits
+    the already-compiled classes."""
+    b, srs, pk, vk, _ = snark_fixture
     sp = str(tmp_path / "srs.npz")
     pp = str(tmp_path / "pk.npz")
     vp = str(tmp_path / "vk.json")
