@@ -24,6 +24,14 @@ go straight to the (persistently cached) XLA compile. Any source edit
 anywhere in the package invalidates the whole AOT cache — correctness
 over reuse. Disable with ``HALO2_RSA_AOT=0``.
 
+Caveat (measured): a dependency CHAIN of exported calls — each call's
+input produced by the previous call's output through eager glue ops —
+stalls ~0.6 s per link on the tunneled TPU, where the plain jit path
+pipelines. Steady-state prove loops are transcript-synced each round and
+unaffected (warm prove times match the pre-AOT pipeline within noise);
+microbenchmarks must time with a per-iteration readback, not a chain
+(see bench.py bench_msm).
+
 Use :func:`fjit` everywhere ``jax.jit`` would be used on field/EC graphs.
 """
 
